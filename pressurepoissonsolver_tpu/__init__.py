@@ -1,0 +1,30 @@
+"""pressurepoissonsolver_tpu — a TPU-native framework for solving Poisson's
+equation on adaptively refined, block-structured Cartesian grids.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+GEM3D/pressurePoissonSolver ("ThunderEgg"): fixed-size cell-centered patches
+on quadtrees (2D) / octrees (3D) with 2:1 balance, fast DST/DCT patch
+solvers expressed as batched matmuls (MXU), FAC geometric multigrid, a
+Schur-complement interface path, and BiCGStab/CG Krylov solvers — all
+batched over a leading patch axis and shardable over a `jax.sharding.Mesh`.
+
+The numerical contract (stencils, interface interpolation weights,
+transform tables, multigrid transfer operators) matches the reference
+semantics documented in SURVEY.md; the implementation is idiomatic
+JAX: static shapes, precomputed int32 index tables instead of pointer
+graphs, scatter/gather + `psum` instead of MPI/VecScatter.
+
+Double precision is required to reach the reference's 1e-10 relative
+residual targets, so importing this package enables x64 mode in JAX.
+The multigrid preconditioner can optionally run in f32 (mixed
+precision) — see `solver.SolveOptions`.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from . import geometry  # noqa: E402
+from . import domain  # noqa: E402
+
+__version__ = "0.1.0"

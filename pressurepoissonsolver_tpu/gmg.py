@@ -1,0 +1,181 @@
+"""FAC geometric multigrid: inter-level transfers and V/W cycles.
+
+TPU-native re-design of the reference's ``GMG::*`` layer
+(SURVEY.md §2.7).  Transfers between a fine and a coarse
+:class:`~pressurepoissonsolver_tpu.ops.level_ops.Level` are static
+gather/scatter-adds driven by host-precomputed parent-slot tables — the
+replacement for ``GMG::InterLevelComm``'s VecScatters
+(``GMG/InterLevelComm.h:114-189``).
+
+* Restriction (``GMG::AvgRstr``, ``GMG/AvgRstr.h:53-113``): each fine patch
+  average-pools 2^D cells into one and adds the result into its orthant
+  block of the parent patch; pass-through patches (their own parent,
+  ``ThundereggDomGen.h:152-163``) copy through unchanged.
+* Prolongation (``GMG::DrctIntp``, ``GMG/DrctIntp.h:77-113``):
+  piecewise-constant injection of the parent's orthant block, added into
+  the fine patch; pass-through copies.
+
+The cycle visitors mirror ``GMG::VCycle``/``GMG::WCycle``
+(``GMG/VCycle.h:44-60``, ``GMG/WCycle.h:42-67``) with the recursion
+unrolled in Python so the whole cycle traces into a single XLA program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .domain import DomainHierarchy, parent_slots
+from .ops.level_ops import Level, _arr_axis
+
+
+@dataclass
+class CycleOpts:
+    """Reference ``GMG::CycleOpts`` (``GMG/CycleOpts.h:51-80``)."""
+
+    max_levels: int = 0  # 0 = no limit
+    patches_per_shard: float = 0  # stop when patches/shard drops below this
+    pre_sweeps: int = 1
+    post_sweeps: int = 1
+    mid_sweeps: int = 1
+    coarse_sweeps: int = 1
+    cycle_type: str = "V"
+
+
+class Transfer:
+    """Fine<->coarse transfer tables between two levels."""
+
+    def __init__(self, fine: Level, coarse: Level):
+        self.fine = fine
+        self.coarse = coarse
+        D, n = fine.D, fine.n
+        self.D, self.n = D, n
+        pslots = parent_slots(fine.pl, coarse.pl)
+        passthrough = fine.pl.orth_on_parent < 0
+        orth = fine.pl.orth_on_parent
+
+        # static per-orthant groups (host index arrays)
+        self._groups = []  # (orthant, fine_slots, parent_slots)
+        for o in range(1 << D):
+            sel = np.where((~passthrough) & (orth == o))[0]
+            if len(sel):
+                self._groups.append(
+                    (o, jnp.asarray(sel), jnp.asarray(pslots[sel]))
+                )
+        sel = np.where(passthrough)[0]
+        self._pt_fine = jnp.asarray(sel) if len(sel) else None
+        self._pt_parent = jnp.asarray(pslots[sel]) if len(sel) else None
+
+    def _quadrant_index(self, o: int):
+        """Array-index tuple selecting orthant ``o``'s block of a coarse
+        patch (reference ``AvgRstr.h:66-72``: bit a of ``o`` set = upper
+        half of axis a)."""
+        D, n = self.D, self.n
+        idx = [slice(None)]  # patch axis
+        for arr in range(1, D + 1):
+            a = D - arr  # spatial axis for this array axis
+            if (o >> a) & 1:
+                idx.append(slice(n // 2, n))
+            else:
+                idx.append(slice(0, n // 2))
+        return tuple(idx)
+
+    def restrict(self, fine_u: jnp.ndarray) -> jnp.ndarray:
+        """Cell-averaging restriction into a new coarse-level vector."""
+        D, n = self.D, self.n
+        # average-pool by 2 along every spatial axis
+        shape = [fine_u.shape[0]]
+        for _ in range(D):
+            shape += [n // 2, 2]
+        pooled = fine_u.reshape(shape).mean(axis=tuple(range(2, 2 * D + 2, 2)))
+        coarse = self.coarse.zeros().astype(fine_u.dtype)
+        for o, fsel, psel in self._groups:
+            q = self._quadrant_index(o)
+            block = pooled[fsel]
+            coarse = coarse.at[(psel,) + q[1:]].add(block)
+        if self._pt_fine is not None:
+            coarse = coarse.at[self._pt_parent].add(fine_u[self._pt_fine])
+        return coarse
+
+    def prolong_add(self, coarse_u: jnp.ndarray, fine_u: jnp.ndarray) -> jnp.ndarray:
+        """Piecewise-constant prolongation, added into ``fine_u``."""
+        D, n = self.D, self.n
+        for o, fsel, psel in self._groups:
+            q = self._quadrant_index(o)
+            block = coarse_u[(psel,) + q[1:]]  # [|sel|, (n/2)^D]
+            for a in range(D):
+                block = jnp.repeat(block, 2, axis=1 + a)
+            fine_u = fine_u.at[fsel].add(block)
+        if self._pt_fine is not None:
+            fine_u = fine_u.at[self._pt_fine].add(coarse_u[self._pt_parent])
+        return fine_u
+
+
+class GMGCycle:
+    """A V- or W-cycle over a level hierarchy, applied as ``u = M f``.
+
+    Matches ``GMG::Cycle::apply`` (``GMG/Cycle.h:34-127``): the input is a
+    residual-style RHS; the initial guess is zero on every level.
+    """
+
+    def __init__(self, levels: List[Level], transfers: List[Transfer], opts: CycleOpts):
+        assert len(transfers) == len(levels) - 1
+        self.levels = levels
+        self.transfers = transfers
+        self.opts = opts
+
+    def apply(self, f: jnp.ndarray) -> jnp.ndarray:
+        return self._visit(0, f)
+
+    def _visit(self, k: int, f: jnp.ndarray) -> jnp.ndarray:
+        lvl = self.levels[k]
+        opts = self.opts
+        if k == len(self.levels) - 1:
+            u = lvl.zeros().astype(f.dtype)
+            for _ in range(opts.coarse_sweeps):
+                u = lvl.smooth(f, u)
+            return u
+        u = lvl.zeros().astype(f.dtype)
+        for _ in range(opts.pre_sweeps):
+            u = lvl.smooth(f, u)
+        n_recurse = 2 if opts.cycle_type == "W" else 1
+        for it in range(n_recurse):
+            r = f - lvl.apply(u)
+            fc = self.transfers[k].restrict(r)
+            uc = self._visit(k + 1, fc)
+            u = self.transfers[k].prolong_add(uc, u)
+            if it + 1 < n_recurse:
+                for _ in range(opts.mid_sweeps):
+                    u = lvl.smooth(f, u)
+        for _ in range(opts.post_sweeps):
+            u = lvl.smooth(f, u)
+        return u
+
+
+def build_gmg(
+    hierarchy: DomainHierarchy,
+    opts: Optional[CycleOpts] = None,
+    dtype=jnp.float64,
+    num_shards: int = 1,
+) -> GMGCycle:
+    """Build the level stack + transfers (reference
+    ``GMG::CycleFactory2d/3d::getCycle``, ``GMG/CycleFactory2d.cpp:69-134``):
+    stop adding levels when ``max_levels`` is reached or the patch count
+    per shard falls below ``patches_per_shard``."""
+    opts = opts or CycleOpts()
+    levels: List[Level] = [Level(hierarchy[0], dtype=dtype)]
+    transfers: List[Transfer] = []
+    for k in range(1, len(hierarchy)):
+        if opts.max_levels > 0 and len(levels) >= opts.max_levels:
+            break
+        pl = hierarchy[k]
+        if pl.num_patches / num_shards < opts.patches_per_shard:
+            break
+        lvl = Level(pl, dtype=dtype)
+        transfers.append(Transfer(levels[-1], lvl))
+        levels.append(lvl)
+    return GMGCycle(levels, transfers, opts)

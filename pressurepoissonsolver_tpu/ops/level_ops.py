@@ -1,0 +1,292 @@
+"""Batched per-level device operations.
+
+One :class:`Level` holds the device-resident index tables and spectral data
+for a single refinement level, and exposes the four core linear maps as
+pure, jittable array functions batched over the leading patch axis:
+
+* ``interpolate(u) -> gamma`` — trace interpolation onto the interface
+  vector (reference ``SchurHelper::interpolateToInterface`` +
+  ``updateInterfaceDist``; a single fused gather/scatter-add here).
+* ``apply(u) -> A u`` — the composite-grid operator (reference
+  ``SchurHelper::apply``, ``SchurHelper.h:360-376``).
+* ``patch_solve(f, gamma) -> u`` — exact per-patch solves by DST/DCT
+  diagonalization, batched as MXU matmuls (reference
+  ``FftwPatchSolver::solve`` / ``DftPatchSolver::solve``).
+* ``smooth(f, u) -> u'`` — one FFT block-Jacobi sweep (reference
+  ``SchurHelper::solveWithSolution``, ``SchurHelper.h:318-331``).
+
+Array layout: patch fields are ``[P, (nz,) ny, nx]`` with x fastest,
+matching the reference's stride-1-in-x layout; face vectors are C-order
+flattenings of the remaining axes (lowest axis fastest).
+
+All data defaults to float64 (TPU software-emulated, required for 1e-10
+residual targets); pass ``dtype=jnp.float32`` for a mixed-precision
+preconditioner level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import iface as iface_mod
+from ..domain import PatchLevel
+from . import transforms as tr
+
+
+def _arr_axis(D: int, ref_axis: int) -> int:
+    """Array axis (in a [P, ...] patch array) for spatial axis ``ref_axis``."""
+    return 1 + (D - 1 - ref_axis)
+
+
+def extract_faces(u: jnp.ndarray, D: int, n: int) -> jnp.ndarray:
+    """All boundary-cell traces: ``[P, 2D, m]`` with ``m = n**(D-1)``."""
+    P = u.shape[0]
+    faces = []
+    for a in range(D):
+        ax = _arr_axis(D, a)
+        faces.append(jnp.take(u, 0, axis=ax).reshape(P, -1))
+        faces.append(jnp.take(u, n - 1, axis=ax).reshape(P, -1))
+    return jnp.stack(faces, axis=1)
+
+
+@dataclass(frozen=True)
+class _SolveGroup:
+    """Static metadata of one BC-homogeneous patch-solver batch."""
+
+    start: int
+    stop: int
+    fwd_kinds: Tuple[int, ...]  # per spatial axis
+    inv_kinds: Tuple[int, ...]
+    pin_dc: bool  # all-Neumann nullspace pin (FftwPatchSolver.h:197)
+
+
+class Level:
+    """Device tables + jitted core ops for one refinement level."""
+
+    def __init__(self, patch_level: PatchLevel, dtype=jnp.float64):
+        self.pl = patch_level
+        self.D = patch_level.D
+        self.n = patch_level.n
+        self.P = patch_level.num_patches
+        self.dtype = dtype
+        self.m = self.n ** (self.D - 1)
+
+        t = iface_mod.build_iface_tables(patch_level)
+        self.tables = t
+        self.num_ifaces = t.num_ifaces
+
+        f = lambda x: jnp.asarray(x)
+        self.iface_idx = f(t.iface_side_idx)
+        self.iface_mask = f(t.iface_side_mask)
+        self.contrib_patch = f(t.contrib_patch)
+        self.contrib_side = f(t.contrib_side)
+        self.contrib_iface = f(t.contrib_iface)
+        self.contrib_case = f(t.contrib_case)
+        self.case_w = f(t.case_w.astype(np.float64)).astype(dtype)
+        self.case_src = f(t.case_src)
+
+        # stencil coefficients
+        h2inv = (1.0 / patch_level.spacings**2).astype(np.float64)
+        self.h2inv = f(h2inv).astype(dtype)  # [P, D]
+        # ghost closure: ghost = c*u_b + 2*gamma; c=+1 Neumann, -1 otherwise
+        # (StarPatchOp.h:39-65: interface/Dirichlet rows -3u_b, Neumann -1u_b)
+        coef = np.where(patch_level.neumann, 1.0, -1.0)
+        self.ghost_coef = f(coef).astype(dtype)  # [P, 2D]
+
+        self._build_solver_groups()
+        self._jit_cache = {}
+
+    # -- patch-solver grouping ---------------------------------------------
+
+    def _build_solver_groups(self) -> None:
+        pl, D, n = self.pl, self.D, self.n
+        P = self.P
+        keys = []
+        for p in range(P):
+            key = tuple(
+                tr.axis_transforms(bool(pl.neumann[p, 2 * a]), bool(pl.neumann[p, 2 * a + 1]))[:2]
+                for a in range(D)
+            )
+            keys.append(key)
+        order = sorted(range(P), key=lambda p: (keys[p], p))
+        perm = np.array(order, dtype=np.int64)
+        inv_perm = np.empty(P, dtype=np.int64)
+        inv_perm[perm] = np.arange(P)
+        self._solver_perm = jnp.asarray(perm)
+        self._solver_inv_perm = jnp.asarray(inv_perm)
+        self._solver_identity_perm = bool(np.all(perm == np.arange(P)))
+
+        # eigen denominators in SORTED order, [P, *ns]
+        denom = np.zeros((P,) + pl.ns_shape)
+        for i, p in enumerate(order):
+            acc = np.zeros(pl.ns_shape)
+            for a in range(D):
+                delta = tr.axis_transforms(
+                    bool(pl.neumann[p, 2 * a]), bool(pl.neumann[p, 2 * a + 1])
+                )[2]
+                lam = tr.axis_eigenvalues(n, float(pl.spacings[p, a]), delta)
+                shape = [1] * D
+                shape[D - 1 - a] = n
+                acc = acc + lam.reshape(shape)
+            denom[i] = acc
+        self._denom_sorted = jnp.asarray(denom).astype(self.dtype)
+
+        groups: List[_SolveGroup] = []
+        start = 0
+        while start < P:
+            stop = start
+            k = keys[order[start]]
+            while stop < P and keys[order[stop]] == k:
+                stop += 1
+            all_neu = bool(
+                np.all(pl.neumann[order[start]])
+            )  # key all-(DCT_II,DCT_III) <=> every side Neumann
+            groups.append(
+                _SolveGroup(
+                    start=start,
+                    stop=stop,
+                    fwd_kinds=tuple(kk[0] for kk in k),
+                    inv_kinds=tuple(kk[1] for kk in k),
+                    pin_dc=all_neu,
+                )
+            )
+            start = stop
+        self._solve_groups = groups
+        kinds_used = sorted(
+            {kk for g in groups for kk in g.fwd_kinds + g.inv_kinds}
+        )
+        self._tmats = {
+            kk: jnp.asarray(tr.transform_matrix(kk, n)).astype(self.dtype)
+            for kk in kinds_used
+        }
+
+    # -- core linear maps ---------------------------------------------------
+
+    def interpolate(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Trace interpolation: ``gamma[NIf, m]`` from patch values."""
+        faces = extract_faces(u, self.D, self.n)  # [P, 2D, m]
+        g = faces[self.contrib_patch, self.contrib_side]  # [C, m]
+        W = self.case_w[self.contrib_case]  # [C, m, K]
+        S = self.case_src[self.contrib_case]  # [C, m, K]
+        C, m, K = W.shape
+        gv = jnp.take_along_axis(g, S.reshape(C, m * K), axis=1).reshape(C, m, K)
+        vals = jnp.sum(W * gv, axis=-1)
+        gamma = jnp.zeros((self.num_ifaces, self.m), dtype=u.dtype)
+        return gamma.at[self.contrib_iface].add(vals)
+
+    def gamma_faces(self, gamma: jnp.ndarray) -> jnp.ndarray:
+        """Per-patch-side interface traces ``[P, 2D, m]`` (zero where no nbr)."""
+        gf = gamma[self.iface_idx]  # [P, 2D, m]
+        return gf * self.iface_mask[..., None]
+
+    def _face_shaped(self, flat: jnp.ndarray) -> jnp.ndarray:
+        """[P, m] face vector -> [P, *face_dims] matching an axis slice."""
+        return flat.reshape((self.P,) + (self.n,) * (self.D - 1))
+
+    def apply_with_interface(self, u: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+        """Stencil apply with explicit interface values
+        (``StarPatchOp::applyWithInterface``, ``StarPatchOp.h:28-184``)."""
+        D, n = self.D, self.n
+        gf = self.gamma_faces(gamma)
+        out = jnp.zeros_like(u)
+        for a in range(D):
+            ax = _arr_axis(D, a)
+            u_lo = jnp.take(u, 0, axis=ax)
+            u_hi = jnp.take(u, n - 1, axis=ax)
+            c_lo = self.ghost_coef[:, 2 * a].reshape((self.P,) + (1,) * (D - 1))
+            c_hi = self.ghost_coef[:, 2 * a + 1].reshape((self.P,) + (1,) * (D - 1))
+            ghost_lo = c_lo * u_lo + 2.0 * self._face_shaped(gf[:, 2 * a])
+            ghost_hi = c_hi * u_hi + 2.0 * self._face_shaped(gf[:, 2 * a + 1])
+            lo = jnp.concatenate(
+                [jnp.expand_dims(ghost_lo, ax), jax.lax.slice_in_dim(u, 0, n - 1, axis=ax)],
+                axis=ax,
+            )
+            hi = jnp.concatenate(
+                [jax.lax.slice_in_dim(u, 1, n, axis=ax), jnp.expand_dims(ghost_hi, ax)],
+                axis=ax,
+            )
+            h2i = self.h2inv[:, a].reshape((self.P,) + (1,) * D)
+            out = out + (lo - 2.0 * u + hi) * h2i
+        return out
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Composite-grid operator ``A u`` (``SchurHelper.h:360-376``)."""
+        return self.apply_with_interface(u, self.interpolate(u))
+
+    def _fold_gamma_into_rhs(self, fc: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+        """``f_slice -= 2/h^2 * gamma`` on every neighbored side
+        (``StarPatchOp::addInterfaceToRHS``, ``StarPatchOp.h:185-203``)."""
+        D, n = self.D, self.n
+        gf = self.gamma_faces(gamma)
+        for a in range(D):
+            ax = _arr_axis(D, a)
+            h2i = self.h2inv[:, a].reshape((self.P,) + (1,) * (D - 1))
+            idx_lo = tuple(
+                [slice(None)] * ax + [0] + [slice(None)] * (D - (ax - 1) - 1)
+            )
+            idx_hi = tuple(
+                [slice(None)] * ax + [n - 1] + [slice(None)] * (D - (ax - 1) - 1)
+            )
+            fc = fc.at[idx_lo].add(-2.0 * h2i * self._face_shaped(gf[:, 2 * a]))
+            fc = fc.at[idx_hi].add(-2.0 * h2i * self._face_shaped(gf[:, 2 * a + 1]))
+        return fc
+
+    @staticmethod
+    def _apply_transform(M: jnp.ndarray, x: jnp.ndarray, ax: int) -> jnp.ndarray:
+        """Apply n×n transform along array axis ``ax`` as one big matmul."""
+        n = M.shape[0]
+        moved = jnp.moveaxis(x, ax, -1)
+        shape = moved.shape
+        y = moved.reshape(-1, n) @ M.T
+        return jnp.moveaxis(y.reshape(shape), -1, ax)
+
+    def patch_solve(self, f: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+        """Exact per-patch solves by spectral diagonalization, batched per
+        BC-homogeneous group (``FftwPatchSolver.h:173-206``)."""
+        D, n = self.D, self.n
+        fc = self._fold_gamma_into_rhs(f, gamma)
+        fs = fc if self._solver_identity_perm else fc[self._solver_perm]
+        parts = []
+        scale = (2.0 / n) ** D
+        for g in self._solve_groups:
+            x = jax.lax.slice_in_dim(fs, g.start, g.stop, axis=0)
+            for a in range(D):
+                x = self._apply_transform(self._tmats[g.fwd_kinds[a]], x, _arr_axis(D, a))
+            x = x / jax.lax.slice_in_dim(self._denom_sorted, g.start, g.stop, axis=0)
+            if g.pin_dc:
+                zero_idx = (slice(None),) + (0,) * D
+                x = x.at[zero_idx].set(0.0)
+            for a in range(D):
+                x = self._apply_transform(self._tmats[g.inv_kinds[a]], x, _arr_axis(D, a))
+            parts.append(x * scale)
+        us = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return us if self._solver_identity_perm else us[self._solver_inv_perm]
+
+    def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """One FFT block-Jacobi sweep (``SchurHelper::solveWithSolution``)."""
+        return self.patch_solve(f, self.interpolate(u))
+
+    def solve_with_interface(self, f: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+        """Patch solves with explicit interface values (Schur path)."""
+        return self.patch_solve(f, gamma)
+
+    # -- reductions ---------------------------------------------------------
+
+    def integrate(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Volume integral (``Domain.h:258-278``)."""
+        cellvol = jnp.prod(jnp.asarray(self.pl.spacings), axis=1)
+        sums = jnp.sum(u.reshape(self.P, -1), axis=1)
+        return jnp.sum(sums * cellvol)
+
+    @property
+    def volume(self) -> float:
+        return self.pl.volume()
+
+    def zeros(self) -> jnp.ndarray:
+        return jnp.zeros((self.P,) + self.pl.ns_shape, dtype=self.dtype)

@@ -1,0 +1,166 @@
+"""High-level solve driver: GMG-preconditioned BiCGStab on the composite
+operator, plus the Schur-complement interface path.
+
+This is the TPU-native equivalent of the reference ``steady`` apps' solve
+section (``apps/2d/steady.cpp:338-640``, ``apps/3d/steady.cpp:296-595``):
+
+* ``solve``: outer BiCGStab on ``A u = f`` with a GMG V(1,1)-cycle
+  preconditioner (reference ``--prec GMG --solver thunderegg``).
+* ``solve_schur``: eliminate patch interiors, solve the interface system
+  ``(I - S) gamma = interp(solve(f, 0))`` with BiCGStab, then recover
+  ``u`` by one more round of patch solves (reference ``--schur``).
+
+The Neumann nullspace is handled as in the apps: shift ``f`` to zero mean
+before solving and compare solutions modulo a constant
+(``apps/3d/steady.cpp:330-334, 539-549``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .domain import DomainHierarchy
+from .geometry import Tree
+from .gmg import CycleOpts, GMGCycle, build_gmg
+from .krylov import KrylovResult, bicgstab
+from .ops.level_ops import Level
+from .problems import Problem, get_problem, init_problem
+
+
+@dataclass
+class SolveOptions:
+    tol: float = 1e-12
+    max_iter: int = 1000
+    gmg: CycleOpts = field(default_factory=CycleOpts)
+    precondition: bool = True
+    # dtype of the preconditioner levels; float32 gives mixed precision
+    precond_dtype: object = jnp.float64
+    dtype: object = jnp.float64
+
+
+class PoissonSolver:
+    """Composite-grid Poisson solver over a domain hierarchy."""
+
+    def __init__(self, hierarchy: DomainHierarchy, options: Optional[SolveOptions] = None):
+        self.hierarchy = hierarchy
+        self.opts = options or SolveOptions()
+        self.fine_level = Level(hierarchy.finest, dtype=self.opts.dtype)
+        if self.opts.precondition:
+            if self.opts.precond_dtype == self.opts.dtype:
+                # reuse the fine level object for the finest GMG level
+                self.gmg = build_gmg(hierarchy, self.opts.gmg, dtype=self.opts.dtype)
+                self.gmg.levels[0] = self.fine_level
+                if self.gmg.transfers:
+                    self.gmg.transfers[0].fine = self.fine_level
+            else:
+                self.gmg = build_gmg(hierarchy, self.opts.gmg, dtype=self.opts.precond_dtype)
+        else:
+            self.gmg = None
+        self._solve_jit = None
+        self._apply_jit = None
+
+    # -- operators ----------------------------------------------------------
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        if self._apply_jit is None:
+            self._apply_jit = jax.jit(self.fine_level.apply)
+        return self._apply_jit(u)
+
+    def _preconditioner(self) -> Optional[Callable]:
+        if self.gmg is None:
+            return None
+        pdtype = self.opts.precond_dtype
+        dtype = self.opts.dtype
+
+        def M(r):
+            return self.gmg.apply(r.astype(pdtype)).astype(dtype)
+
+        return M
+
+    # -- solves -------------------------------------------------------------
+
+    def solve(
+        self,
+        f: jnp.ndarray,
+        tol: Optional[float] = None,
+        max_iter: Optional[int] = None,
+    ) -> KrylovResult:
+        """GMG-preconditioned BiCGStab on ``A u = f``."""
+        tol = self.opts.tol if tol is None else tol
+        max_iter = self.opts.max_iter if max_iter is None else max_iter
+        if self._solve_jit is None:
+            A = self.fine_level.apply
+            M = self._preconditioner()
+
+            def run(b, tol_, max_iter_):
+                return bicgstab(A, b, M=M, tol=tol_, max_iter=max_iter_)
+
+            self._solve_jit = jax.jit(run, static_argnums=(2,))
+        return self._solve_jit(jnp.asarray(f, dtype=self.opts.dtype), tol, max_iter)
+
+    def solve_schur(
+        self,
+        f: jnp.ndarray,
+        tol: Optional[float] = None,
+        max_iter: Optional[int] = None,
+    ):
+        """Schur-complement path (reference ``--schur``).
+
+        The interface condition is flux continuity across each interface:
+        ``gamma = interp(solve(f, gamma))`` (see ``SchurHelper.h:281-299``
+        and the probed matrix diagonal in ``SchurMatrixHelper2d.cpp:170-184``),
+        i.e. the linear system ``(I - S) gamma = interp(solve(f, 0))`` with
+        ``S = interp(solve(0, .))``.  Returns ``(u, KrylovResult)``.
+        """
+        tol = self.opts.tol if tol is None else tol
+        max_iter = self.opts.max_iter if max_iter is None else max_iter
+        lvl = self.fine_level
+        f = jnp.asarray(f, dtype=self.opts.dtype)
+
+        def S(gamma):
+            u = lvl.patch_solve(jnp.zeros_like(f), gamma)
+            return lvl.interpolate(u)
+
+        def A_schur(gamma):
+            return gamma - S(gamma)
+
+        @jax.jit
+        def run(f):
+            gamma0 = jnp.zeros((lvl.num_ifaces, lvl.m), dtype=f.dtype)
+            b = lvl.interpolate(lvl.patch_solve(f, gamma0))
+            res = bicgstab(A_schur, b, tol=tol, max_iter=max_iter)
+            u = lvl.patch_solve(f, res.x)
+            return u, res
+
+        return run(f)
+
+    # -- diagnostics --------------------------------------------------------
+
+    def report(self, u, f, exact, neumann: bool = False) -> dict:
+        """Error/residual/conservation block (``apps/2d/steady.cpp:570-606``)."""
+        lvl = self.fine_level
+        au = self.apply(u)
+        resid = f - au
+        out = {}
+        out["residual"] = float(jnp.linalg.norm(resid.ravel()) / jnp.linalg.norm(f.ravel()))
+        err = exact - u
+        if neumann:
+            uavg = lvl.integrate(u) / lvl.volume
+            eavg = lvl.integrate(exact) / lvl.volume
+            err = err + (eavg - uavg)
+        out["error"] = float(
+            jnp.linalg.norm(err.ravel()) / jnp.linalg.norm(exact.ravel())
+        )
+        out["conservation"] = float(lvl.integrate(au) - lvl.integrate(f))
+        return out
+
+
+def shift_for_neumann(level: Level, f: jnp.ndarray) -> jnp.ndarray:
+    """Zero the mean of f (Neumann compatibility, ``steady.cpp:330-334``)."""
+    fdiff = level.integrate(f) / level.volume
+    return f - fdiff
