@@ -170,6 +170,8 @@ class Level:
 
     def interpolate(self, u: jnp.ndarray) -> jnp.ndarray:
         """Trace interpolation: ``gamma[NIf, m]`` from patch values."""
+        if self.num_ifaces == 0:  # single isolated patch (coarsest level)
+            return jnp.zeros((0, self.m), dtype=u.dtype)
         faces = extract_faces(u, self.D, self.n)  # [P, 2D, m]
         g = faces[self.contrib_patch, self.contrib_side]  # [C, m]
         W = self.case_w[self.contrib_case]  # [C, m, K]
@@ -182,6 +184,8 @@ class Level:
 
     def gamma_faces(self, gamma: jnp.ndarray) -> jnp.ndarray:
         """Per-patch-side interface traces ``[P, 2D, m]`` (zero where no nbr)."""
+        if self.num_ifaces == 0:
+            return jnp.zeros((self.P, 2 * self.D, self.m), dtype=gamma.dtype)
         gf = gamma[self.iface_idx]  # [P, 2D, m]
         return gf * self.iface_mask[..., None]
 

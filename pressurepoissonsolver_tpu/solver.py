@@ -150,9 +150,11 @@ class PoissonSolver:
         out["residual"] = float(jnp.linalg.norm(resid.ravel()) / jnp.linalg.norm(f.ravel()))
         err = exact - u
         if neumann:
+            # compare modulo the constant nullspace: shift the error to zero
+            # mean (reference apps/2d/steady.cpp:588-599)
             uavg = lvl.integrate(u) / lvl.volume
             eavg = lvl.integrate(exact) / lvl.volume
-            err = err + (eavg - uavg)
+            err = err - (eavg - uavg)
         out["error"] = float(
             jnp.linalg.norm(err.ravel()) / jnp.linalg.norm(exact.ravel())
         )

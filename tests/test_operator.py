@@ -1,0 +1,117 @@
+"""Operator/patch-solver consistency tests.
+
+The composite operator (stencil path) and the spectral patch solver are
+two independent formulations of the same per-patch linear system, so
+``apply_with_interface(patch_solve(f, g), g) == f`` must hold exactly (to
+f64 roundoff) for ANY interface values g — a strong cross-check of both.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pressurepoissonsolver_tpu.domain import DomainHierarchy
+from pressurepoissonsolver_tpu.geometry import Tree, refined_tree, uniform_tree
+from pressurepoissonsolver_tpu.ops.level_ops import Level
+
+
+def _rand(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal(shape))
+
+
+def _level(D=2, n=4, levels=2, neumann=False, adaptive=False):
+    t = refined_tree(D, levels, 1) if adaptive else uniform_tree(D, levels)
+    h = DomainHierarchy(t, n=n, neumann=neumann)
+    return Level(h.finest)
+
+
+@pytest.mark.parametrize("neumann", [False, True])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_patch_solve_inverts_stencil_2d(neumann, adaptive):
+    lvl = _level(D=2, n=4, levels=2, neumann=neumann, adaptive=adaptive)
+    P = lvl.P
+    f = _rand((P, 4, 4))
+    if neumann:
+        # per-patch solvability: all-Neumann patches need zero-mean f (the
+        # solver pins the DC mode; the identity holds in the complement)
+        allneu = np.asarray(lvl.pl.neumann).all(axis=1)
+        fn = np.array(f)
+        fn[allneu] -= fn[allneu].mean(axis=(1, 2), keepdims=True)
+        f = jnp.asarray(fn)
+    gamma = _rand((lvl.num_ifaces, lvl.m), seed=1)
+    u = lvl.patch_solve(f, gamma)
+    f2 = lvl.apply_with_interface(u, gamma)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f), rtol=1e-11, atol=1e-9)
+
+
+def test_patch_solve_inverts_stencil_3d():
+    lvl = _level(D=3, n=4, levels=2)
+    f = _rand((lvl.P, 4, 4, 4))
+    gamma = _rand((lvl.num_ifaces, lvl.m), seed=2)
+    u = lvl.patch_solve(f, gamma)
+    f2 = lvl.apply_with_interface(u, gamma)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f), rtol=1e-11, atol=1e-9)
+
+
+def test_smoother_fixed_point():
+    """If A u = f then one block-Jacobi sweep leaves u unchanged
+    (SchurHelper::solveWithSolution with converged traces)."""
+    lvl = _level(D=2, n=8, levels=2)
+    u = _rand((lvl.P, 8, 8), seed=3)
+    f = lvl.apply(u)
+    u2 = lvl.smooth(f, u)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u), rtol=1e-10, atol=1e-10)
+
+
+def test_interpolation_normal_is_average():
+    """On a same-level interface, gamma = (trace_L + trace_R)/2."""
+    lvl = _level(D=2, n=4, levels=2)
+    u = _rand((lvl.P, 4, 4), seed=4)
+    gamma = lvl.interpolate(u)
+    pl = lvl.pl
+    t = lvl.tables
+    # find an east-west normal pair
+    p = int(np.argmax(pl.nbr_type[:, 1] == 1))
+    q = int(pl.nbr_slot[p, 1])
+    iface = int(t.iface_side_idx[p, 1])
+    left = np.asarray(u)[p, :, -1]
+    right = np.asarray(u)[q, :, 0]
+    np.testing.assert_allclose(
+        np.asarray(gamma)[iface], 0.5 * (left + right), rtol=1e-12
+    )
+
+
+def test_interface_weights_sum_to_one():
+    """Interpolating the constant-1 field must give gamma = 1 on every
+    interface (weights of the two sides sum to 1 for all iface types)."""
+    for adaptive in (False, True):
+        for D in (2, 3):
+            lvl = _level(D=D, n=4, levels=2, adaptive=adaptive)
+            u = jnp.ones((lvl.P,) + (4,) * D)
+            gamma = lvl.interpolate(u)
+            np.testing.assert_allclose(np.asarray(gamma), 1.0, rtol=1e-12)
+
+
+def test_apply_constant_interior_zero():
+    """A constant field has zero Laplacian away from Dirichlet walls, and
+    exactly zero everywhere with Neumann BCs."""
+    lvl = _level(D=2, n=4, levels=2, neumann=True, adaptive=True)
+    u = jnp.ones((lvl.P, 4, 4))
+    au = lvl.apply(u)
+    np.testing.assert_allclose(np.asarray(au), 0.0, atol=1e-12)
+
+
+def test_apply_matches_dense_symmetric_uniform():
+    """On a uniform mesh the composite operator is symmetric."""
+    lvl = _level(D=2, n=4, levels=2)
+    N = lvl.P * 16
+    A = np.zeros((N, N))
+    for j in range(N):
+        e = np.zeros(N)
+        e[j] = 1.0
+        A[:, j] = np.asarray(lvl.apply(jnp.asarray(e.reshape(lvl.P, 4, 4)))).ravel()
+    np.testing.assert_allclose(A, A.T, rtol=1e-10, atol=1e-10)
+    # and negative definite (Dirichlet)
+    w = np.linalg.eigvalsh(A)
+    assert w.max() < 0

@@ -1,0 +1,115 @@
+"""End-to-end manufactured-solution solves — the primary integration gate
+(reference behavior: ``apps/2d/steady.cpp``, converged relative residual
+~1e-10..1e-12 and 2nd-order discretization error; SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pressurepoissonsolver_tpu.domain import DomainHierarchy
+from pressurepoissonsolver_tpu.geometry import Tree, refined_tree, uniform_tree
+from pressurepoissonsolver_tpu.gmg import CycleOpts
+from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions, shift_for_neumann
+
+
+def _solve(D, levels, n, problem="trig", neumann=False, adaptive=False,
+           tol=1e-11, precondition=True):
+    t = refined_tree(D, levels, 1) if adaptive else uniform_tree(D, levels)
+    h = DomainHierarchy(t, n=n, neumann=neumann)
+    s = PoissonSolver(h, SolveOptions(tol=tol, precondition=precondition))
+    prob = get_problem(problem, D)
+    f, exact = init_problem(h.finest, prob, neumann=neumann)
+    f = jnp.asarray(f)
+    if neumann:
+        f = shift_for_neumann(s.fine_level, f)
+    res = s.solve(f)
+    rep = s.report(res.x, f, jnp.asarray(exact), neumann=neumann)
+    return res, rep
+
+
+def test_2d_dirichlet_solve_to_tolerance():
+    res, rep = _solve(2, levels=3, n=8)
+    assert rep["residual"] < 1e-10
+    assert int(res.iterations) < 30
+    # discretization error for 32x32 cells, trig problem
+    assert rep["error"] < 2e-2
+
+
+def test_2d_dirichlet_second_order():
+    _, rep1 = _solve(2, levels=3, n=8)  # h = 1/32
+    _, rep2 = _solve(2, levels=4, n=8)  # h = 1/64
+    ratio = rep1["error"] / rep2["error"]
+    assert 3.0 < ratio < 5.0, ratio
+
+
+def test_2d_neumann_solve():
+    res, rep = _solve(2, levels=3, n=8, neumann=True)
+    assert rep["residual"] < 1e-9
+    assert rep["error"] < 3e-2
+    assert abs(rep["conservation"]) < 1e-10
+
+
+def test_2d_adaptive_solve():
+    res, rep = _solve(2, levels=3, n=8, adaptive=True)
+    assert rep["residual"] < 1e-10
+    assert rep["error"] < 2e-2
+
+
+def test_2d_unpreconditioned_matches_gmg():
+    res_a, rep_a = _solve(2, levels=2, n=8, precondition=True)
+    res_b, rep_b = _solve(2, levels=2, n=8, precondition=False, tol=1e-12)
+    assert rep_a["residual"] < 1e-10 and rep_b["residual"] < 1e-10
+    # GMG should cut iteration count substantially
+    assert int(res_a.iterations) <= int(res_b.iterations)
+
+
+def test_gmg_iterations_mesh_independent():
+    """The algorithmic-quality bar (BASELINE.md): iteration counts should be
+    nearly mesh-independent with the GMG preconditioner."""
+    its = []
+    for levels in (2, 3, 4):
+        res, rep = _solve(2, levels=levels, n=8)
+        assert rep["residual"] < 1e-10
+        its.append(int(res.iterations))
+    assert max(its) <= min(its) + 4, its
+
+
+def test_3d_dirichlet_solve():
+    res, rep = _solve(3, levels=2, n=8)
+    assert rep["residual"] < 1e-10
+    assert rep["error"] < 2e-2
+
+
+def test_3d_second_order():
+    _, rep1 = _solve(3, levels=2, n=4)  # h = 1/8
+    _, rep2 = _solve(3, levels=2, n=8)  # h = 1/16
+    ratio = rep1["error"] / rep2["error"]
+    assert 2.5 < ratio < 6.0, ratio
+
+
+def test_3d_reference_mesh_2refine():
+    t = Tree.from_file("/root/reference/test/2refine.bin", 3)
+    h = DomainHierarchy(t, n=4)
+    s = PoissonSolver(h, SolveOptions(tol=1e-11))
+    prob = get_problem("trig", 3)
+    f, exact = init_problem(h.finest, prob)
+    res = s.solve(jnp.asarray(f))
+    rep = s.report(res.x, jnp.asarray(f), jnp.asarray(exact))
+    assert rep["residual"] < 1e-10
+    assert rep["error"] < 0.2  # coarse mesh; just sanity
+
+
+def test_schur_matches_composite():
+    t = uniform_tree(2, 3)
+    h = DomainHierarchy(t, n=8)
+    s = PoissonSolver(h, SolveOptions(tol=1e-12))
+    prob = get_problem("trig", 2)
+    f, exact = init_problem(h.finest, prob)
+    f = jnp.asarray(f)
+    res = s.solve(f)
+    u_schur, schur_res = s.solve_schur(f)
+    err = float(jnp.abs(u_schur - res.x).max() / jnp.abs(res.x).max())
+    assert err < 1e-8, err
+    rep = s.report(u_schur, f, jnp.asarray(exact))
+    assert rep["residual"] < 1e-9
