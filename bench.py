@@ -1,0 +1,109 @@
+"""Benchmark: 2D adaptive Poisson complete solve on one chip.
+
+Headline metric (BASELINE.md): DOF/s for a complete solve (GMG-
+preconditioned BiCGStab to 1e-10 relative residual) of the 2D multi-level
+adaptive problem — the reference's strongest comparable 1-core number is
+the Schur+hypre complete solve: 2,129,920 DOF in 6.37 s = 3.34e5 DOF/s
+(``misc/results/2D_Poisson_Solver_Timing_4_mesh.ipynb`` cell 19).
+
+``vs_baseline`` is the speedup of this chip over that 1-core baseline.
+
+Environment knobs:
+  PPS_BENCH_DIVIDE  extra uniform refinements of the mesh (default 1)
+  PPS_BENCH_N       cells per patch side (default 16)
+  PPS_BENCH_DTYPE   float64 | float32 | mixed (default mixed:
+                    f64 Krylov + f32 GMG preconditioner)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import Tree, refined_tree
+    from pressurepoissonsolver_tpu.gmg import CycleOpts
+    from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+    from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+    divide = int(os.environ.get("PPS_BENCH_DIVIDE", "1"))
+    n = int(os.environ.get("PPS_BENCH_N", "16"))
+    dtype_name = os.environ.get("PPS_BENCH_DTYPE", "mixed")
+
+    mesh_path = "/root/reference/apps/2d/meshes/multi_refine_8.bin"
+    if os.path.exists(mesh_path):
+        tree = Tree.from_file(mesh_path, 2)
+    else:
+        tree = refined_tree(2, 5, 2)
+    for _ in range(divide):
+        tree.refine_leaves()
+
+    hierarchy = DomainHierarchy(tree, n=n)
+    dof = hierarchy.finest.num_cells
+
+    if dtype_name == "float32":
+        opts = SolveOptions(tol=1e-6, dtype=jnp.float32, precond_dtype=jnp.float32)
+    elif dtype_name == "mixed":
+        opts = SolveOptions(tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float32)
+    else:
+        opts = SolveOptions(tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float64)
+
+    solver = PoissonSolver(hierarchy, opts)
+    f_np, exact = init_problem(hierarchy.finest, get_problem("trig", 2))
+    f = jnp.asarray(f_np, dtype=opts.dtype)
+
+    # warm-up (compile)
+    t0 = time.time()
+    res = solver.solve(f, max_iter=200)
+    res.x.block_until_ready()
+    compile_and_first = time.time() - t0
+
+    # timed solve
+    t0 = time.time()
+    res = solver.solve(f, max_iter=200)
+    res.x.block_until_ready()
+    solve_s = time.time() - t0
+
+    rep = solver.report(res.x, f, jnp.asarray(exact))
+
+    # stencil throughput: composite operator applications (nnz/s, 5-pt 2D)
+    apply_jit = jax.jit(solver.fine_level.apply)
+    u = res.x
+    apply_jit(u).block_until_ready()
+    reps = 20
+    t0 = time.time()
+    for _ in range(reps):
+        u = apply_jit(u)
+    u.block_until_ready()
+    apply_s = (time.time() - t0) / reps
+    nnz_per_s = 5 * dof / apply_s
+
+    dof_per_s = dof / solve_s
+    baseline_dof_per_s = 3.34e5  # reference 1-core Schur+hypre complete solve
+    out = {
+        "metric": "2d_adaptive_complete_solve_dof_per_s",
+        "value": round(dof_per_s, 1),
+        "unit": "DOF/s",
+        "vs_baseline": round(dof_per_s / baseline_dof_per_s, 3),
+        "dof": dof,
+        "solve_s": round(solve_s, 4),
+        "iterations": int(res.iterations),
+        "residual": rep["residual"],
+        "error": rep["error"],
+        "stencil_nnz_per_s": round(nnz_per_s, 1),
+        "compile_s": round(compile_and_first - solve_s, 2),
+        "dtype": dtype_name,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -232,5 +232,6 @@ def parent_slots(fine: PatchLevel, coarse: PatchLevel) -> np.ndarray:
     to themselves (their id appears on the coarse level too)."""
     coarse_slot_of = {int(pid): i for i, pid in enumerate(coarse.ids)}
     return np.array(
-        [coarse_slot_of[int(pid)] for pid in fine.parent_id], dtype=np.int64
+        [coarse_slot_of.get(int(pid), -1) for pid in fine.parent_id],
+        dtype=np.int64,
     )

@@ -66,7 +66,9 @@ class Transfer:
                 self._groups.append(
                     (o, jnp.asarray(sel), jnp.asarray(pslots[sel]))
                 )
-        sel = np.where(passthrough)[0]
+        # pass-through copies; padded dummy patches (parent slot -1) are
+        # excluded from both transfer directions and stay zero
+        sel = np.where(passthrough & (pslots >= 0))[0]
         self._pt_fine = jnp.asarray(sel) if len(sel) else None
         self._pt_parent = jnp.asarray(pslots[sel]) if len(sel) else None
 
