@@ -1,0 +1,11 @@
+"""3D steady Poisson CLI (reference ``apps/3d/steady.cpp``).
+
+Run as ``python -m pressurepoissonsolver_tpu.apps.steady3d [options]``.
+"""
+
+import sys
+
+from ..cli import main
+
+if __name__ == "__main__":
+    sys.exit(main(3))

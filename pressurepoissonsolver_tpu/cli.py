@@ -1,0 +1,216 @@
+"""Command-line driver (the reference ``steady`` apps re-imagined).
+
+Mirrors the reference CLI surface (``apps/2d/steady.cpp:70-200``,
+``apps/3d/steady.cpp:74-200``): mesh file + uniform divides, problem
+selection, BC choice, solver/preconditioner/patch-solver selection, the
+GMG cycle options, tolerance, outputs, and ini config read/write
+(CLI11's ``--config``/``--output_config`` become ``--config``/
+``--output-config`` backed by configparser).
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+
+def build_parser(D: int) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=f"Solve the {D}D steady Poisson problem "
+        "(TPU-native pressurePoissonSolver)"
+    )
+    p.add_argument("--mesh", type=str, default=None, help="mesh tree file (.bin)")
+    p.add_argument("--uniform", type=int, default=None, metavar="L",
+                   help="use a uniform tree with L levels instead of a mesh file")
+    p.add_argument("-n", type=int, default=16, help="cells per patch side")
+    p.add_argument("--divide", type=int, default=0, help="extra uniform refinements")
+    p.add_argument("--neumann", action="store_true", help="Neumann BCs")
+    p.add_argument("--schur", action="store_true",
+                   help="solve the Schur-complement interface system")
+    p.add_argument("--problem", type=str, default="trig",
+                   help="trig|gauss|zero|circle|'trig gauss' (2D) / trig|gauss|zero (3D)")
+    p.add_argument("--solver", type=str, default="bicgstab",
+                   choices=["bicgstab", "cg"], help="Krylov method")
+    p.add_argument("--prec", type=str, default="GMG",
+                   choices=["GMG", "Schwarz", "cheb", "none"], help="preconditioner")
+    p.add_argument("--patch_solver", type=str, default="dft",
+                   choices=["dft", "fftw", "bcgs"],
+                   help="per-patch solver (fftw is an alias of the spectral dft)")
+    p.add_argument("-t", "--tolerance", type=float, default=1e-12)
+    p.add_argument("--max_iterations", type=int, default=1000)
+    p.add_argument("--dtype", type=str, default="float64",
+                   choices=["float64", "float32", "mixed"])
+    p.add_argument("--nozerof", action="store_true",
+                   help="do not shift f to zero mean for Neumann")
+    # GMG cycle options (reference GMG subcommand)
+    p.add_argument("--gmg-max-levels", type=int, default=0)
+    p.add_argument("--gmg-patches-per-shard", type=float, default=0)
+    p.add_argument("--gmg-pre-sweeps", type=int, default=1)
+    p.add_argument("--gmg-post-sweeps", type=int, default=1)
+    p.add_argument("--gmg-mid-sweeps", type=int, default=1)
+    p.add_argument("--gmg-coarse-sweeps", type=int, default=1)
+    p.add_argument("--gmg-cycle-type", type=str, default="V", choices=["V", "W"])
+    # outputs
+    p.add_argument("--out-claw", type=str, default=None, metavar="DIR",
+                   help="write Clawpack fort.* output to DIR (2D)")
+    p.add_argument("--out-vtk", type=str, default=None, metavar="PATH",
+                   help="write VTK multiblock output to PATH.vtm")
+    p.add_argument("--out-json", type=str, default=None,
+                   help="write solve metrics to a JSON file")
+    p.add_argument("--config", type=str, default=None, help="read options from ini file")
+    p.add_argument("--output-config", type=str, default=None,
+                   help="write the effective options to an ini file")
+    p.add_argument("--loop", type=int, default=1, help="repeat the solve N times")
+    return p
+
+
+def apply_config_file(parser: argparse.ArgumentParser, args, path: str, argv=None):
+    """Load defaults from an ini file, then re-parse so CLI flags win."""
+    cp = configparser.ConfigParser()
+    cp.read(path)
+    defaults = {}
+    for section in cp.sections():
+        for k, v in cp.items(section):
+            defaults[k.replace("-", "_")] = v
+    if cp.defaults():
+        for k, v in cp.defaults().items():
+            defaults[k.replace("-", "_")] = v
+    parser.set_defaults(**{k: _coerce(parser, k, v) for k, v in defaults.items()
+                           if hasattr(args, k)})
+    return parser.parse_args(argv)
+
+
+def _coerce(parser, key, val):
+    for a in parser._actions:
+        if a.dest == key:
+            if a.type is int:
+                return int(val)
+            if a.type is float:
+                return float(val)
+            if isinstance(a.const, bool) or a.nargs == 0:
+                return val.lower() in ("1", "true", "yes", "on")
+            return val
+    return val
+
+
+def write_config_file(args, path: str) -> None:
+    cp = configparser.ConfigParser()
+    cp["solve"] = {
+        k.replace("_", "-"): str(v)
+        for k, v in vars(args).items()
+        if v is not None and k not in ("config", "output_config")
+    }
+    with open(path, "w") as f:
+        cp.write(f)
+
+
+def main(D: int, argv=None) -> int:
+    parser = build_parser(D)
+    args = parser.parse_args(argv)
+    if args.config:
+        args = apply_config_file(parser, args, args.config, argv)
+    if args.output_config:
+        write_config_file(args, args.output_config)
+
+    import jax.numpy as jnp
+
+    from .domain import DomainHierarchy
+    from .geometry import Tree, uniform_tree
+    from .gmg import CycleOpts
+    from .problems import get_problem, init_problem
+    from .solver import PoissonSolver, SolveOptions, shift_for_neumann
+    from .utils.timer import Timer
+    from .utils.writers import write_claw, write_vtk
+
+    timer = Timer(sync_device=True)
+
+    timer.start("Domain Initialization")
+    if args.mesh:
+        tree = Tree.from_file(args.mesh, D)
+    else:
+        tree = uniform_tree(D, args.uniform or 3)
+    for _ in range(args.divide):
+        tree.refine_leaves()
+    hierarchy = DomainHierarchy(tree, n=args.n, neumann=args.neumann)
+
+    gmg_opts = CycleOpts(
+        max_levels=args.gmg_max_levels,
+        patches_per_shard=args.gmg_patches_per_shard,
+        pre_sweeps=args.gmg_pre_sweeps,
+        post_sweeps=args.gmg_post_sweeps,
+        mid_sweeps=args.gmg_mid_sweeps,
+        coarse_sweeps=args.gmg_coarse_sweeps,
+        cycle_type=args.gmg_cycle_type,
+    )
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    pdtype = jnp.float32 if args.dtype in ("float32", "mixed") else jnp.float64
+    opts = SolveOptions(
+        tol=args.tolerance,
+        max_iter=args.max_iterations,
+        gmg=gmg_opts,
+        precondition=(args.prec == "GMG" and not args.schur),
+        dtype=dtype,
+        precond_dtype=pdtype,
+    )
+    solver = PoissonSolver(hierarchy, opts)
+    prob = get_problem(args.problem, D)
+    f_np, exact_np = init_problem(hierarchy.finest, prob, neumann=args.neumann)
+    f = jnp.asarray(f_np, dtype=dtype)
+    exact = jnp.asarray(exact_np, dtype=dtype)
+    timer.stop("Domain Initialization")
+
+    if args.neumann and not args.nozerof:
+        fdiff = float(solver.fine_level.integrate(f) / solver.fine_level.volume)
+        print(f"Fdiff: {fdiff}")
+        f = f - fdiff
+
+    rep = {}
+    for _loop in range(args.loop):
+        timer.start("Linear Solve")
+        if args.schur:
+            u, res = solver.solve_schur(f)
+        else:
+            res = solver.solve(f)
+            u = res.x
+        timer.stop("Linear Solve")
+        print(f"Iterations: {int(res.iterations)}")
+        rep = solver.report(u, f, exact, neumann=args.neumann)
+
+    print(f"Error: {rep['error']:.13e}")
+    print(f"Residual: {rep['residual']:.13e}")
+    print(f"ΣAu-Σf: {rep['conservation']:.13e}")
+    print(f"Total cells: {hierarchy.finest.num_cells}")
+
+    resid_arr = f - solver.apply(u)
+    if args.out_claw and D == 2:
+        write_claw(hierarchy.finest, u, resid_arr, args.out_claw)
+    if args.out_vtk:
+        write_vtk(
+            hierarchy.finest,
+            {
+                "Solution": u,
+                "Error": exact - u,
+                "Residual": resid_arr,
+                "RHS": f,
+                "Exact": exact,
+            },
+            args.out_vtk,
+        )
+    if args.out_json:
+        with open(args.out_json, "w") as fh:
+            json.dump(
+                {
+                    "iterations": int(res.iterations),
+                    **rep,
+                    "dof": hierarchy.finest.num_cells,
+                    "linear_solve_s": timer["Linear Solve"],
+                },
+                fh,
+            )
+    print(timer)
+    return 0

@@ -1,0 +1,67 @@
+"""CLI app / writer / timer / config tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pressurepoissonsolver_tpu.cli import main
+from pressurepoissonsolver_tpu.utils.timer import Timer
+
+
+def test_steady2d_cli(tmp_path):
+    out_json = str(tmp_path / "out.json")
+    rc = main(
+        2,
+        [
+            "--uniform", "2", "-n", "8", "-t", "1e-11",
+            "--out-json", out_json,
+            "--out-claw", str(tmp_path / "claw"),
+            "--out-vtk", str(tmp_path / "vtk"),
+            "--output-config", str(tmp_path / "cfg.ini"),
+        ],
+    )
+    assert rc == 0
+    rep = json.load(open(out_json))
+    assert rep["residual"] < 1e-10
+    assert rep["error"] < 0.05
+    assert os.path.exists(tmp_path / "claw" / "fort.q0000")
+    assert os.path.exists(str(tmp_path / "vtk") + ".vtm")
+    assert os.path.exists(tmp_path / "vtk" / "patch000000.vti")
+    # config round trip: reading the written config reproduces the solve
+    rc = main(2, ["--config", str(tmp_path / "cfg.ini"), "--out-json", out_json])
+    assert rc == 0
+    rep2 = json.load(open(out_json))
+    assert rep2["iterations"] == rep["iterations"]
+
+
+def test_steady2d_schur_cli(tmp_path):
+    out_json = str(tmp_path / "out.json")
+    rc = main(2, ["--uniform", "2", "-n", "8", "--schur", "-t", "1e-12",
+                  "--out-json", out_json])
+    assert rc == 0
+    rep = json.load(open(out_json))
+    assert rep["residual"] < 1e-9
+
+
+def test_steady3d_cli(tmp_path):
+    out_json = str(tmp_path / "out.json")
+    rc = main(3, ["--mesh", "/root/reference/test/2uni.bin", "-n", "8",
+                  "-t", "1e-11", "--out-json", out_json])
+    assert rc == 0
+    rep = json.load(open(out_json))
+    assert rep["residual"] < 1e-10
+
+
+def test_timer_report():
+    t = Timer()
+    with t.section("A"):
+        pass
+    with t.section("B"):
+        pass
+    with t.section("B"):
+        pass
+    rep = t.report()
+    assert "A" in rep and "B (2 repeats)" in rep
+    assert t["A"] >= 0
