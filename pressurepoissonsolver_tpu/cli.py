@@ -55,6 +55,9 @@ def build_parser(D: int) -> argparse.ArgumentParser:
     p.add_argument("--gmg-mid-sweeps", type=int, default=1)
     p.add_argument("--gmg-coarse-sweeps", type=int, default=1)
     p.add_argument("--gmg-cycle-type", type=str, default="V", choices=["V", "W"])
+    p.add_argument("--gmg-interpolator", type=str, default="constant",
+                   choices=["constant", "linear"],
+                   help="interlevel prolongation (DrctIntp / TriLinIntp)")
     # outputs
     p.add_argument("--out-claw", type=str, default=None, metavar="DIR",
                    help="write Clawpack fort.* output to DIR (2D)")
@@ -146,6 +149,7 @@ def main(D: int, argv=None) -> int:
         mid_sweeps=args.gmg_mid_sweeps,
         coarse_sweeps=args.gmg_coarse_sweeps,
         cycle_type=args.gmg_cycle_type,
+        interpolator=args.gmg_interpolator,
     )
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     pdtype = jnp.float32 if args.dtype in ("float32", "mixed") else jnp.float64

@@ -44,16 +44,51 @@ class CycleOpts:
     mid_sweeps: int = 1
     coarse_sweeps: int = 1
     cycle_type: str = "V"
+    interpolator: str = "constant"  # "constant" (DrctIntp) | "linear" (TriLinIntp)
+
+
+def _linear_prolong_matrix(n: int, half: int) -> np.ndarray:
+    """n×n matrix mapping a parent patch's 1D cell line to the fine cells of
+    its lower (half=0) or upper (half=1) child, by cell-centered linear
+    interpolation with one-sided extrapolation at patch edges.
+
+    Reproduces the reference's trilinear-prolongation coefficient tables
+    (``GMG/TriLinIntp.cpp:105-673``): interior weights (3/4, 1/4) per axis
+    — e.g. the 3D center stencil 27/64 = (3/4)^3 — and edge weights
+    (5/4, -1/4) — e.g. the exterior-face value 45/64 = (5/4)(3/4)(3/4).
+    """
+    W = np.zeros((n, n))
+    start = half * (n // 2)
+    for i in range(n):
+        c = start + i // 2
+        d = 1 if (i % 2 == 1) else -1
+        j = c + d
+        if 0 <= j < n:
+            W[i, c] += 0.75
+            W[i, j] += 0.25
+        else:
+            W[i, c] += 1.25
+            W[i, c - d] += -0.25
+    return W
 
 
 class Transfer:
-    """Fine<->coarse transfer tables between two levels."""
+    """Fine<->coarse transfer tables between two levels.
 
-    def __init__(self, fine: Level, coarse: Level):
+    ``prolong_mode``: ``"constant"`` — piecewise-constant injection
+    (reference ``GMG::DrctIntp``, the factory default); ``"linear"`` —
+    cell-centered bi/trilinear prolongation (reference ``GMG::TriLinIntp``).
+    """
+
+    def __init__(self, fine: Level, coarse: Level, prolong_mode: str = "constant"):
         self.fine = fine
         self.coarse = coarse
+        self.prolong_mode = prolong_mode
         D, n = fine.D, fine.n
         self.D, self.n = D, n
+        self._wlin = [
+            jnp.asarray(_linear_prolong_matrix(n, h)) for h in range(2)
+        ]
         pslots = parent_slots(fine.pl, coarse.pl)
         passthrough = fine.pl.orth_on_parent < 0
         orth = fine.pl.orth_on_parent
@@ -104,13 +139,25 @@ class Transfer:
         return coarse
 
     def prolong_add(self, coarse_u: jnp.ndarray, fine_u: jnp.ndarray) -> jnp.ndarray:
-        """Piecewise-constant prolongation, added into ``fine_u``."""
+        """Prolongation (constant or linear), added into ``fine_u``."""
         D, n = self.D, self.n
         for o, fsel, psel in self._groups:
-            q = self._quadrant_index(o)
-            block = coarse_u[(psel,) + q[1:]]  # [|sel|, (n/2)^D]
-            for a in range(D):
-                block = jnp.repeat(block, 2, axis=1 + a)
+            if self.prolong_mode == "linear":
+                block = coarse_u[psel]  # full parent patch [|sel|, n^D]
+                for a in range(D):
+                    bit = (o >> a) & 1
+                    W = self._wlin[bit].astype(block.dtype)
+                    arr_ax = 1 + (D - 1 - a)
+                    moved = jnp.moveaxis(block, arr_ax, -1)
+                    shp = moved.shape
+                    block = jnp.moveaxis(
+                        (moved.reshape(-1, n) @ W.T).reshape(shp), -1, arr_ax
+                    )
+            else:
+                q = self._quadrant_index(o)
+                block = coarse_u[(psel,) + q[1:]]  # [|sel|, (n/2)^D]
+                for a in range(D):
+                    block = jnp.repeat(block, 2, axis=1 + a)
             fine_u = fine_u.at[fsel].add(block)
         if self._pt_fine is not None:
             fine_u = fine_u.at[self._pt_fine].add(coarse_u[self._pt_parent])
@@ -178,6 +225,6 @@ def build_gmg(
         if pl.num_patches / num_shards < opts.patches_per_shard:
             break
         lvl = Level(pl, dtype=dtype)
-        transfers.append(Transfer(levels[-1], lvl))
+        transfers.append(Transfer(levels[-1], lvl, prolong_mode=opts.interpolator))
         levels.append(lvl)
     return GMGCycle(levels, transfers, opts)

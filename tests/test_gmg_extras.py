@@ -1,0 +1,79 @@
+"""GMG transfer-operator tests (ports the intents of the reference's
+disabled ``test/GMG.cpp`` AvgRstr/DrctIntp/TriLinIntp behavior tests)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pressurepoissonsolver_tpu.domain import DomainHierarchy
+from pressurepoissonsolver_tpu.geometry import refined_tree, uniform_tree
+from pressurepoissonsolver_tpu.gmg import CycleOpts, Transfer, _linear_prolong_matrix
+from pressurepoissonsolver_tpu.ops.level_ops import Level
+from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+
+def _levels(adaptive=False, n=4):
+    t = refined_tree(2, 2, 1) if adaptive else uniform_tree(2, 2)
+    h = DomainHierarchy(t, n=n)
+    return h, Level(h[0]), Level(h[1])
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_restrict_preserves_constant_and_integral(adaptive):
+    h, fine, coarse = _levels(adaptive)
+    tr = Transfer(fine, coarse)
+    ones = jnp.ones((fine.P,) + fine.pl.ns_shape)
+    c = tr.restrict(ones)
+    np.testing.assert_allclose(np.asarray(c), 1.0, rtol=1e-14)
+    # cell-average restriction preserves the volume integral
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((fine.P,) + fine.pl.ns_shape))
+    np.testing.assert_allclose(
+        float(coarse.integrate(tr.restrict(v))), float(fine.integrate(v)), rtol=1e-12
+    )
+
+
+@pytest.mark.parametrize("mode", ["constant", "linear"])
+def test_prolong_preserves_constant(mode):
+    h, fine, coarse = _levels(adaptive=True)
+    tr = Transfer(fine, coarse, prolong_mode=mode)
+    ones_c = jnp.ones((coarse.P,) + coarse.pl.ns_shape)
+    out = tr.prolong_add(ones_c, fine.zeros())
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-14)
+
+
+def test_linear_prolong_exact_for_linear_fields():
+    """Bi-linear prolongation reproduces linear functions exactly
+    (including the one-sided extrapolation rows at patch edges)."""
+    h, fine, coarse = _levels(adaptive=False, n=8)
+    tr = Transfer(fine, coarse, prolong_mode="linear")
+    cc = coarse.pl.cell_centers()  # [Pc, n, n, 2]
+    lin_c = jnp.asarray(2.0 * cc[..., 0] - 3.0 * cc[..., 1] + 0.5)
+    fc = fine.pl.cell_centers()
+    lin_f = 2.0 * fc[..., 0] - 3.0 * fc[..., 1] + 0.5
+    out = tr.prolong_add(lin_c, fine.zeros())
+    np.testing.assert_allclose(np.asarray(out), lin_f, rtol=1e-12, atol=1e-12)
+
+
+def test_linear_prolong_matrix_rows_sum_to_one():
+    for n in (4, 8, 16):
+        for h in (0, 1):
+            W = _linear_prolong_matrix(n, h)
+            np.testing.assert_allclose(W.sum(axis=1), 1.0, rtol=1e-14)
+
+
+def test_wcycle_and_linear_interpolator_converge():
+    t = refined_tree(2, 3, 1)
+    h = DomainHierarchy(t, n=8)
+    for opts in (
+        CycleOpts(cycle_type="W"),
+        CycleOpts(interpolator="linear"),
+        CycleOpts(pre_sweeps=2, post_sweeps=2),
+    ):
+        s = PoissonSolver(h, SolveOptions(tol=1e-11, gmg=opts))
+        f, exact = init_problem(h.finest, get_problem("trig", 2))
+        res = s.solve(jnp.asarray(f))
+        rep = s.report(res.x, jnp.asarray(f), jnp.asarray(exact))
+        assert rep["residual"] < 1e-10, (opts, rep)
+        assert int(res.iterations) < 25
