@@ -20,9 +20,24 @@ The multigrid preconditioner can optionally run in f32 (mixed
 precision) — see `solver.SolveOptions`.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU compiles of the unrolled multigrid
+# cycle are expensive (minutes); cache them across processes.
+if _os.environ.get("PPS_NO_COMPILE_CACHE") != "1":
+    _cache_dir = _os.environ.get(
+        "PPS_COMPILE_CACHE", _os.path.expanduser("~/.cache/pps_tpu_xla")
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 from . import geometry  # noqa: E402
 from . import domain  # noqa: E402

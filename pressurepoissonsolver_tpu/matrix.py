@@ -147,6 +147,94 @@ def assemble_composite(level: PatchLevel) -> sp.csr_matrix:
     return (L + G @ Gamma).tocsr()
 
 
+def assemble_schur(level) -> sp.csr_matrix:
+    """The explicit Schur interface matrix ``A_S = I - S`` by probing.
+
+    TPU-native analog of the reference's probed Schur assembly
+    (``SchurMatrixHelper2d.cpp:130-190``): instead of canonicalizing BC
+    classes and solving one patch per class, probe *all* patches at once —
+    for each (side, face-index) pair, one batched spectral solve gives
+    every patch's response to a unit trace on that side, and the trace
+    interpolation weights distribute the responses into m×m blocks of S
+    attributed to each source interface.
+
+    ``level`` is an ``ops.level_ops.Level``.
+    """
+    import jax.numpy as jnp
+
+    from .ops.level_ops import extract_faces
+
+    D, n = level.D, level.n
+    t = level.tables
+    m = t.m
+    S2 = 2 * D
+    NIf = t.num_ifaces
+    P = level.P
+
+    cw = t.case_w  # [ncase, m, K]
+    cs = t.case_src
+    C = len(t.contrib_patch)
+    zero_f = np.zeros((P,) + level.pl.ns_shape)
+
+    rows, cols, vals = [], [], []
+    for s in range(S2):
+        src_iface = t.iface_side_idx[:, s]  # [P]
+        src_mask = t.iface_side_mask[:, s]
+        for j in range(m):
+            gf = np.zeros((P, S2, m))
+            gf[:, s, j] = 1.0
+            u = np.asarray(
+                level.patch_solve_faces(jnp.asarray(zero_f, dtype=level.dtype),
+                                        jnp.asarray(gf, dtype=level.dtype))
+            )
+            faces = np.asarray(extract_faces(jnp.asarray(u), D, n))  # [P, 2D, m]
+            # contribution values: vals_c[c, :] = W_case ⊛ faces[p_c, s_c]
+            g = faces[t.contrib_patch, t.contrib_side]  # [C, m]
+            gv = np.take_along_axis(
+                g, cs[t.contrib_case].reshape(C, -1), axis=1
+            ).reshape(C, m, -1)
+            vc = np.sum(cw[t.contrib_case] * gv, axis=-1)  # [C, m]
+            # source column: only patches with a real iface on side s
+            pmask = src_mask[t.contrib_patch]
+            sel = np.where(pmask)[0]
+            for c in sel:
+                p = t.contrib_patch[c]
+                rows.append(t.contrib_iface[c] * m + np.arange(m))
+                cols.append(np.full(m, src_iface[p] * m + j))
+                vals.append(vc[c])
+    S_mat = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(NIf * m, NIf * m),
+    )
+    return (sp.identity(NIf * m, format="csr") - S_mat).tocsr()
+
+
+def schur_block_jacobi(level, A_S: sp.csr_matrix = None):
+    """Block-Jacobi preconditioner for the interface system: inverts the
+    m×m diagonal blocks of ``I - S`` (the reference's ``PBMatrix``
+    ``getDiagInv`` + ``BlockJacobiSmoother``,
+    ``Experimental/PBMatrix.cpp``)."""
+    import jax.numpy as jnp
+
+    if A_S is None:
+        A_S = assemble_schur(level)
+    m = level.m
+    NIf = level.num_ifaces
+    blocks = np.zeros((NIf, m, m))
+    Acoo = A_S.tocoo()
+    ri, ci, v = Acoo.row, Acoo.col, Acoo.data
+    same = (ri // m) == (ci // m)
+    for r, c, x in zip(ri[same], ci[same], v[same]):
+        blocks[r // m, r % m, c % m] += x
+    binv = np.linalg.inv(blocks)
+    binv_j = jnp.asarray(binv, dtype=level.dtype)
+
+    def M(gamma):
+        return jnp.einsum("bij,bj->bi", binv_j, gamma)
+
+    return M
+
+
 def bcoo_matvec(csr: sp.csr_matrix):
     """Wrap a host CSR as a jittable device SpMV (BCOO)."""
     import jax.numpy as jnp

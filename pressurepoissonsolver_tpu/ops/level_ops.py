@@ -226,8 +226,10 @@ class Level:
     def _fold_gamma_into_rhs(self, fc: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
         """``f_slice -= 2/h^2 * gamma`` on every neighbored side
         (``StarPatchOp::addInterfaceToRHS``, ``StarPatchOp.h:185-203``)."""
+        return self._fold_faces_into_rhs(fc, self.gamma_faces(gamma))
+
+    def _fold_faces_into_rhs(self, fc: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
         D, n = self.D, self.n
-        gf = self.gamma_faces(gamma)
         for a in range(D):
             ax = _arr_axis(D, a)
             h2i = self.h2inv[:, a].reshape((self.P,) + (1,) * (D - 1))
@@ -250,11 +252,18 @@ class Level:
         y = moved.reshape(-1, n) @ M.T
         return jnp.moveaxis(y.reshape(shape), -1, ax)
 
+    def patch_solve_faces(self, f: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
+        """Patch solves with explicit per-patch-side trace values
+        ``gf[P, 2D, m]`` (used by Schur probing)."""
+        return self._spectral_solve(self._fold_faces_into_rhs(f, gf))
+
     def patch_solve(self, f: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
         """Exact per-patch solves by spectral diagonalization, batched per
         BC-homogeneous group (``FftwPatchSolver.h:173-206``)."""
+        return self._spectral_solve(self._fold_gamma_into_rhs(f, gamma))
+
+    def _spectral_solve(self, fc: jnp.ndarray) -> jnp.ndarray:
         D, n = self.D, self.n
-        fc = self._fold_gamma_into_rhs(f, gamma)
         fs = fc if self._solver_identity_perm else fc[self._solver_perm]
         parts = []
         scale = (2.0 / n) ** D

@@ -103,3 +103,47 @@ def test_poly_cheb_schur_preconditioner():
     u1 = lvl.patch_solve(f, plain.x)
     u2 = lvl.patch_solve(f, prec.x)
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), rtol=1e-7, atol=1e-9)
+
+
+def test_assembled_schur_matches_matrix_free():
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import refined_tree
+    from pressurepoissonsolver_tpu.matrix import assemble_schur
+    from pressurepoissonsolver_tpu.ops.level_ops import Level
+
+    t = refined_tree(2, 2, 1)
+    h = DomainHierarchy(t, n=4)
+    lvl = Level(h.finest)
+    A_S = assemble_schur(lvl)
+    rng = np.random.default_rng(3)
+    zero_f = jnp.zeros((lvl.P, 4, 4))
+    for seed in range(2):
+        g = rng.standard_normal((lvl.num_ifaces, lvl.m))
+        ref = np.asarray(
+            jnp.asarray(g) - lvl.interpolate(lvl.patch_solve(zero_f, jnp.asarray(g)))
+        ).ravel()
+        np.testing.assert_allclose(A_S @ g.ravel(), ref, rtol=1e-10, atol=1e-12)
+
+
+def test_schur_block_jacobi_accelerates():
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import uniform_tree
+    from pressurepoissonsolver_tpu.matrix import schur_block_jacobi
+    from pressurepoissonsolver_tpu.ops.level_ops import Level
+
+    t = uniform_tree(2, 3)
+    h = DomainHierarchy(t, n=8)
+    lvl = Level(h.finest)
+    f, _ = init_problem(h.finest, get_problem("trig", 2))
+    f = jnp.asarray(f)
+
+    def A_schur(g):
+        return g - lvl.interpolate(lvl.patch_solve(jnp.zeros_like(f), g))
+
+    g0 = jnp.zeros((lvl.num_ifaces, lvl.m))
+    b = lvl.interpolate(lvl.patch_solve(f, g0))
+    M = schur_block_jacobi(lvl)
+    plain = bicgstab(A_schur, b, tol=1e-11, max_iter=2000)
+    prec = bicgstab(A_schur, b, M=M, tol=1e-11, max_iter=2000)
+    assert float(prec.residual_norm / prec.r0_norm) < 1e-10
+    assert int(prec.iterations) <= int(plain.iterations) + 2
