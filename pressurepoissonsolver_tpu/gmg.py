@@ -45,6 +45,12 @@ class CycleOpts:
     coarse_sweeps: int = 1
     cycle_type: str = "V"
     interpolator: str = "constant"  # "constant" (DrctIntp) | "linear" (TriLinIntp)
+    # Exact coarse solve: stop the hierarchy once a level has at most this
+    # many DOF and invert its assembled operator once (a single matmul per
+    # cycle — far cheaper on TPU than descending a deep tail of tiny
+    # levels, and a stronger coarse correction than smoothing sweeps).
+    coarse_direct_max_dof: int = 2048
+    coarse_direct: bool = True
 
 
 def _linear_prolong_matrix(n: int, half: int) -> np.ndarray:
@@ -176,6 +182,22 @@ class GMGCycle:
         self.levels = levels
         self.transfers = transfers
         self.opts = opts
+        self._coarse_inv = None
+        if opts.coarse_direct and (
+            levels[-1].P * levels[-1].pl.cells_per_patch <= opts.coarse_direct_max_dof
+        ):
+            self._build_coarse_direct()
+
+    def _build_coarse_direct(self) -> None:
+        from .matrix import assemble_composite
+
+        lvl = self.levels[-1]
+        A = assemble_composite(lvl.pl).toarray()
+        # Neumann problems have the constant nullspace -> pseudo-inverse
+        phys = lvl.pl.nbr_type == 0
+        all_neumann = bool(np.asarray(lvl.pl.neumann)[phys].all())
+        Ainv = np.linalg.pinv(A) if all_neumann else np.linalg.inv(A)
+        self._coarse_inv = jnp.asarray(Ainv).astype(lvl.dtype)
 
     def apply(self, f: jnp.ndarray) -> jnp.ndarray:
         return self._visit(0, f)
@@ -184,6 +206,9 @@ class GMGCycle:
         lvl = self.levels[k]
         opts = self.opts
         if k == len(self.levels) - 1:
+            if self._coarse_inv is not None:
+                sol = self._coarse_inv.astype(f.dtype) @ f.ravel()
+                return sol.reshape(f.shape)
             u = lvl.zeros().astype(f.dtype)
             for _ in range(opts.coarse_sweeps):
                 u = lvl.smooth(f, u)
@@ -224,6 +249,12 @@ def build_gmg(
         pl = hierarchy[k]
         if pl.num_patches / num_shards < opts.patches_per_shard:
             break
+        if (
+            opts.coarse_direct
+            and levels[-1].P * levels[-1].pl.cells_per_patch
+            <= opts.coarse_direct_max_dof
+        ):
+            break  # current coarsest is small enough for a direct solve
         lvl = Level(pl, dtype=dtype)
         transfers.append(Transfer(levels[-1], lvl, prolong_mode=opts.interpolator))
         levels.append(lvl)

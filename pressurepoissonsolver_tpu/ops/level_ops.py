@@ -91,6 +91,20 @@ class Level:
         self.case_w = f(t.case_w.astype(np.float64)).astype(dtype)
         self.case_src = f(t.case_src)
 
+        # gather-form of the interface reduction: per interface, the (padded)
+        # list of contribution rows that accumulate into it — turns the
+        # scatter-add in `interpolate` into a gather+sum, which XLA/TPU
+        # executes far more efficiently.
+        C = len(t.contrib_patch)
+        by_iface = [[] for _ in range(t.num_ifaces)]
+        for c in range(C):
+            by_iface[int(t.contrib_iface[c])].append(c)
+        K_if = max((len(v) for v in by_iface), default=1)
+        gather_tbl = np.full((t.num_ifaces, K_if), C, dtype=np.int32)  # C = zero row
+        for i, v in enumerate(by_iface):
+            gather_tbl[i, : len(v)] = v
+        self._iface_gather = f(gather_tbl)
+
         # stencil coefficients
         h2inv = (1.0 / patch_level.spacings**2).astype(np.float64)
         self.h2inv = f(h2inv).astype(dtype)  # [P, D]
@@ -178,9 +192,12 @@ class Level:
         S = self.case_src[self.contrib_case]  # [C, m, K]
         C, m, K = W.shape
         gv = jnp.take_along_axis(g, S.reshape(C, m * K), axis=1).reshape(C, m, K)
-        vals = jnp.sum(W * gv, axis=-1)
-        gamma = jnp.zeros((self.num_ifaces, self.m), dtype=u.dtype)
-        return gamma.at[self.contrib_iface].add(vals)
+        vals = jnp.sum(W * gv, axis=-1)  # [C, m]
+        # gather-form reduction onto interfaces (row C is the zero pad)
+        vals_padded = jnp.concatenate(
+            [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
+        )
+        return jnp.sum(vals_padded[self._iface_gather], axis=1)
 
     def gamma_faces(self, gamma: jnp.ndarray) -> jnp.ndarray:
         """Per-patch-side interface traces ``[P, 2D, m]`` (zero where no nbr)."""
