@@ -206,14 +206,27 @@ class DomainHierarchy:
     """The full finest→coarsest stream of :class:`PatchLevel` objects
     (reference ``DomainGenerator`` contract, ``DomainGenerator.h:437-456``)."""
 
-    def __init__(self, tree: Tree, n: int, neumann: bool = False):
+    def __init__(self, tree: Tree, n: int, neumann: bool = False, use_native: bool = True):
         self.tree = tree
         self.n = n
         self.neumann = neumann
-        self.levels: List[PatchLevel] = [
-            extract_level(tree, lvl, n, neumann)
-            for lvl in range(tree.num_levels - 1, -1, -1)
-        ]
+        self.levels: List[PatchLevel] = []
+        #: per-level prebuilt interface tables (filled by the native path)
+        self.iface_tables: List[Optional[object]] = []
+        native = None
+        if use_native:
+            from . import native as native_mod
+
+            if native_mod.available():
+                native = native_mod
+        for lvl in range(tree.num_levels - 1, -1, -1):
+            if native is not None:
+                pl, tables = native.build_level_native(tree, lvl, n, neumann)
+            else:
+                pl, tables = extract_level(tree, lvl, n, neumann), None
+            pl.prebuilt_iface_tables = tables  # consumed by ops.level_ops.Level
+            self.levels.append(pl)
+            self.iface_tables.append(tables)
 
     @property
     def finest(self) -> PatchLevel:

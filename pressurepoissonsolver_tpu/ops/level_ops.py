@@ -77,7 +77,9 @@ class Level:
         self.dtype = dtype
         self.m = self.n ** (self.D - 1)
 
-        t = iface_mod.build_iface_tables(patch_level)
+        t = getattr(patch_level, "prebuilt_iface_tables", None)
+        if t is None:
+            t = iface_mod.build_iface_tables(patch_level)
         self.tables = t
         self.num_ifaces = t.num_ifaces
 
