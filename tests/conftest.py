@@ -4,6 +4,8 @@ per-op TPU compile round-trips for tiny test problems)."""
 
 import os
 
+os.environ["PPS_NO_COMPILE_CACHE"] = "1"  # CPU AOT artifacts are not portable
+
 # The session environment pins JAX_PLATFORMS=axon (the TPU tunnel); tests
 # must override it, not setdefault it.
 os.environ["JAX_PLATFORMS"] = "cpu"
