@@ -63,6 +63,7 @@ class PoissonSolver:
             self.gmg = None
         self._solve_jit = None
         self._apply_jit = None
+        self._fine_low = None
 
     # -- operators ----------------------------------------------------------
 
@@ -102,6 +103,53 @@ class PoissonSolver:
 
             self._solve_jit = jax.jit(run, static_argnums=(2,))
         return self._solve_jit(jnp.asarray(f, dtype=self.opts.dtype), tol, max_iter)
+
+    def solve_refined(
+        self,
+        f: jnp.ndarray,
+        tol: Optional[float] = None,
+        inner_tol: float = 1e-7,
+        max_outer: int = 10,
+        inner_max_iter: int = 100,
+    ):
+        """Mixed-precision iterative refinement: inner GMG-BiCGStab solves
+        in the preconditioner dtype (f32), residual updates in f64.
+
+        Classic IR reaches full f64 accuracy while doing nearly all Krylov
+        work in fast low precision — the TPU-native answer to the
+        reference's all-f64 CPU solves.  Returns ``(u, info dict)``.
+        """
+        tol = self.opts.tol if tol is None else tol
+        pdtype = self.opts.precond_dtype
+        if self._fine_low is None:
+            if self.gmg is not None and self.gmg.levels[0].dtype == pdtype:
+                self._fine_low = self.gmg.levels[0]
+            else:
+                self._fine_low = Level(self.hierarchy.finest, dtype=pdtype)
+        low = self._fine_low
+        M = (lambda r: self.gmg.apply(r)) if self.gmg is not None else None
+
+        @jax.jit
+        def inner(r32):
+            return bicgstab(
+                low.apply, r32, M=M, tol=inner_tol, max_iter=inner_max_iter
+            ).x
+
+        apply64 = self.apply
+        f = jnp.asarray(f, dtype=jnp.float64)
+        u = jnp.zeros_like(f)
+        fnorm = float(jnp.linalg.norm(f.ravel()))
+        info = {"outer_iterations": 0, "residual": 1.0}
+        for k in range(max_outer):
+            r = f - apply64(u)
+            rel = float(jnp.linalg.norm(r.ravel())) / fnorm
+            info["residual"] = rel
+            info["outer_iterations"] = k
+            if rel <= tol:
+                break
+            e = inner(r.astype(pdtype))
+            u = u + e.astype(jnp.float64)
+        return u, info
 
     def solve_schur(
         self,

@@ -113,3 +113,20 @@ def test_schur_matches_composite():
     assert err < 1e-8, err
     rep = s.report(u_schur, f, jnp.asarray(exact))
     assert rep["residual"] < 1e-9
+
+
+def test_iterative_refinement_reaches_tolerance():
+    """Mixed-precision IR: f32 inner solves, f64 outer residual, 1e-10."""
+    import jax.numpy as jnp
+    from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+    t = uniform_tree(2, 4)
+    h = DomainHierarchy(t, n=8)
+    s = PoissonSolver(h, SolveOptions(tol=1e-10, precond_dtype=jnp.float32))
+    prob = get_problem("trig", 2)
+    f, exact = init_problem(h.finest, prob)
+    u, info = s.solve_refined(jnp.asarray(f), tol=1e-10)
+    assert info["residual"] < 1e-10, info
+    assert info["outer_iterations"] <= 8
+    rep = s.report(u, jnp.asarray(f), jnp.asarray(exact))
+    assert rep["error"] < 2e-2
