@@ -97,17 +97,48 @@ class Level:
         # list of contribution rows that accumulate into it — turns the
         # scatter-add in `interpolate` into a gather+sum, which XLA/TPU
         # executes far more efficiently.
+        # --- contribution pipeline, case-sorted for matmul templates -------
+        # Per-element index arithmetic (take_along_axis) is catastrophically
+        # slow on TPU; instead each case's (weights, source-index) template
+        # becomes a dense m×m matrix and contributions are sorted by case so
+        # each case is one [R, m] @ [m, m] matmul on the MXU.
         C = len(t.contrib_patch)
+        ncase = t.case_w.shape[0]
+        m = t.m
+        case_T = np.zeros((ncase, m, m))
+        for k in range(ncase):
+            for i in range(m):
+                for kk in range(t.case_w.shape[2]):
+                    w = t.case_w[k, i, kk]
+                    if w != 0.0:
+                        case_T[k, i, t.case_src[k, i, kk]] += w
+        self._case_T = f(case_T).astype(dtype)  # [ncase, m, m]
+
+        order = np.argsort(t.contrib_case, kind="stable")
+        self._c_patch_sorted = f(t.contrib_patch[order])
+        self._c_side_sorted = f(t.contrib_side[order])
+        cs = t.contrib_case[order]
+        # static (case, start, stop) groups
+        groups = []
+        start = 0
+        while start < C:
+            stop = start
+            while stop < C and cs[stop] == cs[start]:
+                stop += 1
+            groups.append((int(cs[start]), start, stop))
+            start = stop
+        self._contrib_groups = groups
+
+        # per-interface gather of its (sorted-order) contribution rows
         by_iface = [[] for _ in range(t.num_ifaces)]
+        sorted_iface = t.contrib_iface[order]
         for c in range(C):
-            by_iface[int(t.contrib_iface[c])].append(c)
+            by_iface[int(sorted_iface[c])].append(c)
         K_if = max((len(v) for v in by_iface), default=1)
         gather_tbl = np.full((t.num_ifaces, K_if), C, dtype=np.int32)  # C = zero row
         for i, v in enumerate(by_iface):
             gather_tbl[i, : len(v)] = v
         self._iface_gather = f(gather_tbl)
-
-        self._build_direct_trace_tables()
 
         # stencil coefficients
         h2inv = (1.0 / patch_level.spacings**2).astype(np.float64)
@@ -184,88 +215,6 @@ class Level:
             for kk in kinds_used
         }
 
-    def _build_direct_trace_tables(self) -> None:
-        """Tables for computing each patch side's interface trace *directly*
-        from its own and its neighbors' face values, skipping the interface
-        vector entirely.
-
-        Every ``gamma(p, s)`` is a fixed-weight combination of at most
-        ``1 + 2**(D-1)`` face traces (its own plus its neighbors'), with
-        weights given by the same case templates used by ``interpolate`` —
-        so the result is bit-identical to reading back the interface vector,
-        but costs one gather + weighted sum instead of a scatter/gather
-        round trip through ``gamma``.  This is the hot path for ``apply``
-        and ``smooth``; the interface vector remains available for the
-        Schur system.
-        """
-        from .. import geometry as geo
-        from ..domain import NBR_COARSE, NBR_FINE, NBR_NONE, NBR_NORMAL
-        from ..iface import CASE_C2C, CASE_C2F, CASE_F2C, CASE_F2F, CASE_NORMAL
-        from ..iface import case_templates
-
-        pl = self.pl
-        D, n, P = self.D, self.n, self.P
-        S = 2 * D
-        half = 1 << (D - 1)
-        Ksrc = 1 + half
-
-        case_index, W, Src = case_templates(D, n)
-        ncase = W.shape[0]
-        # extended templates with a zero row at index `ncase` for padding
-        Wx = np.concatenate([W, np.zeros((1,) + W.shape[1:])], axis=0)
-        Sx = np.concatenate([Src, np.zeros((1,) + Src.shape[1:], Src.dtype)], axis=0)
-
-        src_patch = np.zeros((P, S, Ksrc), dtype=np.int32)
-        src_side = np.zeros((P, S, Ksrc), dtype=np.int32)
-        src_case = np.full((P, S, Ksrc), ncase, dtype=np.int32)
-
-        for p in range(P):
-            for s in range(S):
-                t = pl.nbr_type[p, s]
-                if t == NBR_NONE:
-                    continue
-                so = geo.side_opposite(s)
-                if t == NBR_NORMAL:
-                    q = int(pl.nbr_slot[p, s])
-                    srcs = [(p, s, CASE_NORMAL), (q, so, CASE_NORMAL)]
-                elif t == NBR_COARSE:
-                    q = int(pl.nbr_slot[p, s])
-                    orth = int(pl.coarse_orth[p, s])
-                    srcs = [(p, s, CASE_F2F), (q, so, f"{CASE_C2F}{orth}")]
-                else:  # NBR_FINE
-                    srcs = [(p, s, CASE_C2C)] + [
-                        (int(pl.fine_nbr_slots[p, s, q]), so, f"{CASE_F2C}{q}")
-                        for q in range(half)
-                    ]
-                for k, (sp, ss, cn) in enumerate(srcs):
-                    src_patch[p, s, k] = sp
-                    src_side[p, s, k] = ss
-                    src_case[p, s, k] = case_index[cn]
-
-        self._dt_src_patch = jnp.asarray(src_patch)
-        self._dt_src_side = jnp.asarray(src_side)
-        self._dt_src_case = jnp.asarray(src_case)
-        self._dt_case_w = jnp.asarray(Wx).astype(self.dtype)
-        self._dt_case_src = jnp.asarray(Sx)
-        self._dt_ksrc = Ksrc
-
-    def trace_faces(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Interface traces per patch side, ``[P, 2D, m]`` — equals
-        ``gamma_faces(interpolate(u))`` without the interface vector."""
-        faces = extract_faces(u, self.D, self.n)  # [P, 2D, m]
-        P, S, m = faces.shape
-        out = jnp.zeros_like(faces)
-        for k in range(self._dt_ksrc):
-            g = faces[self._dt_src_patch[:, :, k], self._dt_src_side[:, :, k]]
-            W = self._dt_case_w[self._dt_src_case[:, :, k]]  # [P, S, m, K]
-            Sidx = self._dt_case_src[self._dt_src_case[:, :, k]]
-            K = W.shape[-1]
-            gv = jnp.take_along_axis(
-                g.reshape(P * S, m), Sidx.reshape(P * S, m * K), axis=1
-            ).reshape(P, S, m, K)
-            out = out + jnp.sum(W * gv, axis=-1)
-        return out
-
     # -- core linear maps ---------------------------------------------------
 
     def interpolate(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -273,15 +222,15 @@ class Level:
         if self.num_ifaces == 0:  # single isolated patch (coarsest level)
             return jnp.zeros((0, self.m), dtype=u.dtype)
         faces = extract_faces(u, self.D, self.n)  # [P, 2D, m]
-        g = faces[self.contrib_patch, self.contrib_side]  # [C, m]
-        W = self.case_w[self.contrib_case]  # [C, m, K]
-        S = self.case_src[self.contrib_case]  # [C, m, K]
-        C, m, K = W.shape
-        gv = jnp.take_along_axis(g, S.reshape(C, m * K), axis=1).reshape(C, m, K)
-        vals = jnp.sum(W * gv, axis=-1)  # [C, m]
+        g = faces[self._c_patch_sorted, self._c_side_sorted]  # [C, m], case-sorted
+        parts = []
+        for case, start, stop in self._contrib_groups:
+            rows = jax.lax.slice_in_dim(g, start, stop, axis=0)
+            parts.append(rows @ self._case_T[case].T.astype(u.dtype))
+        vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         # gather-form reduction onto interfaces (row C is the zero pad)
         vals_padded = jnp.concatenate(
-            [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
+            [vals, jnp.zeros((1, self.m), dtype=vals.dtype)], axis=0
         )
         return jnp.sum(vals_padded[self._iface_gather], axis=1)
 
@@ -325,9 +274,8 @@ class Level:
         return out
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Composite-grid operator ``A u`` (``SchurHelper.h:360-376``),
-        using the direct trace path (no interface-vector round trip)."""
-        return self._stencil_with_faces(u, self.trace_faces(u))
+        """Composite-grid operator ``A u`` (``SchurHelper.h:360-376``)."""
+        return self.apply_with_interface(u, self.interpolate(u))
 
     def _fold_gamma_into_rhs(self, fc: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
         """``f_slice -= 2/h^2 * gamma`` on every neighbored side
@@ -389,9 +337,7 @@ class Level:
 
     def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         """One FFT block-Jacobi sweep (``SchurHelper::solveWithSolution``)."""
-        return self._spectral_solve(
-            self._fold_faces_into_rhs(f, self.trace_faces(u))
-        )
+        return self.patch_solve(f, self.interpolate(u))
 
     def solve_with_interface(self, f: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
         """Patch solves with explicit interface values (Schur path)."""
