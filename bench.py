@@ -35,7 +35,7 @@ def main():
 
     divide = int(os.environ.get("PPS_BENCH_DIVIDE", "1"))
     n = int(os.environ.get("PPS_BENCH_N", "16"))
-    dtype_name = os.environ.get("PPS_BENCH_DTYPE", "mixed")
+    dtype_name = os.environ.get("PPS_BENCH_DTYPE", "ir")
 
     mesh_path = "/root/reference/apps/2d/meshes/multi_refine_8.bin"
     if os.path.exists(mesh_path):
@@ -50,7 +50,7 @@ def main():
 
     if dtype_name == "float32":
         opts = SolveOptions(tol=1e-6, dtype=jnp.float32, precond_dtype=jnp.float32)
-    elif dtype_name == "mixed":
+    elif dtype_name in ("mixed", "ir"):
         opts = SolveOptions(tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float32)
     else:
         opts = SolveOptions(tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float64)
@@ -59,23 +59,35 @@ def main():
     f_np, exact = init_problem(hierarchy.finest, get_problem("trig", 2))
     f = jnp.asarray(f_np, dtype=opts.dtype)
 
+    def run_solve():
+        if dtype_name == "ir":
+            # mixed-precision iterative refinement: f32 Krylov + GMG inner
+            # solves, f64 residual updates — reaches 1e-10 with nearly all
+            # work in f32
+            u, info = solver.solve_refined(f, tol=1e-10, inner_tol=1e-7)
+            return u, info["residual"]
+
+        res = solver.solve(f, max_iter=200)
+        return res.x, int(res.iterations)
+
     # warm-up (compile)
     t0 = time.time()
-    res = solver.solve(f, max_iter=200)
-    res.x.block_until_ready()
+    u, _ = run_solve()
+    u.block_until_ready()
     compile_and_first = time.time() - t0
 
     # timed solve
     t0 = time.time()
-    res = solver.solve(f, max_iter=200)
-    res.x.block_until_ready()
+    u, iters = run_solve()
+    u.block_until_ready()
     solve_s = time.time() - t0
 
-    rep = solver.report(res.x, f, jnp.asarray(exact))
+    rep = solver.report(u, f, jnp.asarray(exact))
+    res_x = u
 
     # stencil throughput: composite operator applications (nnz/s, 5-pt 2D)
     apply_jit = jax.jit(solver.fine_level.apply)
-    u = res.x
+    u = res_x
     apply_jit(u).block_until_ready()
     reps = 20
     t0 = time.time()
@@ -94,7 +106,8 @@ def main():
         "vs_baseline": round(dof_per_s / baseline_dof_per_s, 3),
         "dof": dof,
         "solve_s": round(solve_s, 4),
-        "iterations": int(res.iterations),
+        "iterations": iters if isinstance(iters, int) else -1,
+        "final_residual_ir": iters if not isinstance(iters, int) else None,
         "residual": rep["residual"],
         "error": rep["error"],
         "stencil_nnz_per_s": round(nnz_per_s, 1),

@@ -27,8 +27,12 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: TPU compiles of the unrolled multigrid
-# cycle are expensive (minutes); cache them across processes.
-if _os.environ.get("PPS_NO_COMPILE_CACHE") != "1":
+# cycle are expensive (minutes); cache them across processes.  CPU runs
+# skip it — XLA:CPU AOT artifacts are machine-feature specific.
+if (
+    _os.environ.get("PPS_NO_COMPILE_CACHE") != "1"
+    and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")
+):
     _cache_dir = _os.environ.get(
         "PPS_COMPILE_CACHE", _os.path.expanduser("~/.cache/pps_tpu_xla")
     )
