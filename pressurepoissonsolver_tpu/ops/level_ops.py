@@ -69,13 +69,21 @@ class _SolveGroup:
 class Level:
     """Device tables + jitted core ops for one refinement level."""
 
-    def __init__(self, patch_level: PatchLevel, dtype=jnp.float64):
+    def __init__(self, patch_level: PatchLevel, dtype=jnp.float64,
+                 use_pallas: Optional[bool] = None):
         self.pl = patch_level
         self.D = patch_level.D
         self.n = patch_level.n
         self.P = patch_level.num_patches
         self.dtype = dtype
         self.m = self.n ** (self.D - 1)
+        if use_pallas is None:
+            try:
+                use_pallas = jax.default_backend() == "tpu"
+            except Exception:
+                use_pallas = False
+        self.use_pallas = use_pallas
+        self._pallas_interpret = False  # tests flip this to run on CPU
 
         t = getattr(patch_level, "prebuilt_iface_tables", None)
         if t is None:
@@ -251,6 +259,16 @@ class Level:
         return self._stencil_with_faces(u, self.gamma_faces(gamma))
 
     def _stencil_with_faces(self, u: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas:
+            from . import pallas_kernels as pk
+
+            return pk.stencil_block(
+                u,
+                gf.astype(u.dtype),
+                self.h2inv.astype(u.dtype),
+                self.ghost_coef.astype(u.dtype),
+                interpret=self._pallas_interpret,
+            )
         D, n = self.D, self.n
         out = jnp.zeros_like(u)
         for a in range(D):
@@ -323,9 +341,25 @@ class Level:
         scale = (2.0 / n) ** D
         for g in self._solve_groups:
             x = jax.lax.slice_in_dim(fs, g.start, g.stop, axis=0)
+            dn = jax.lax.slice_in_dim(self._denom_sorted, g.start, g.stop, axis=0)
+            if self.use_pallas:
+                from . import pallas_kernels as pk
+
+                parts.append(
+                    pk.spectral_solve_block(
+                        x,
+                        dn.astype(x.dtype),
+                        [self._tmats[k].astype(x.dtype) for k in g.fwd_kinds],
+                        [self._tmats[k].astype(x.dtype) for k in g.inv_kinds],
+                        scale,
+                        pin_dc=g.pin_dc,
+                        interpret=self._pallas_interpret,
+                    )
+                )
+                continue
             for a in range(D):
                 x = self._apply_transform(self._tmats[g.fwd_kinds[a]], x, _arr_axis(D, a))
-            x = x / jax.lax.slice_in_dim(self._denom_sorted, g.start, g.stop, axis=0)
+            x = x / dn
             if g.pin_dc:
                 zero_idx = (slice(None),) + (0,) * D
                 x = x.at[zero_idx].set(0.0)
