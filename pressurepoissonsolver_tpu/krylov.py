@@ -56,19 +56,24 @@ def bicgstab(
         x, r, p, rho, k = state
         return jnp.logical_and(_norm(r) / r0_norm > tol, k < max_iter)
 
+    def _safe_div(a, b):
+        # breakdown guard (needed for f32 inner solves): a zero denominator
+        # stalls the iteration instead of producing NaN
+        return jnp.where(b != 0, a / jnp.where(b != 0, b, 1.0), 0.0)
+
     def body(state):
         x, r, p, rho, k = state
         mp = prec(p)
         ap = A(mp)
-        alpha = rho / _dot(rhat, ap)
+        alpha = _safe_div(rho, _dot(rhat, ap))
         s = r - alpha * ap
         ms = prec(s)
         as_ = A(ms)
-        omega = _dot(as_, s) / _dot(as_, as_)
+        omega = _safe_div(_dot(as_, s), _dot(as_, as_))
         x = x + alpha * mp + omega * ms
         r = r - alpha * ap - omega * as_
         rho_new = _dot(r, rhat)
-        beta = rho_new * alpha / (rho * omega)
+        beta = _safe_div(rho_new * alpha, rho * omega)
         p = beta * (p - omega * ap) + r
         return (x, r, p, rho_new, k + 1)
 

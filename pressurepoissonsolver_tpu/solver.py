@@ -108,9 +108,9 @@ class PoissonSolver:
         self,
         f: jnp.ndarray,
         tol: Optional[float] = None,
-        inner_tol: float = 1e-7,
-        max_outer: int = 10,
-        inner_max_iter: int = 100,
+        inner_tol: float = 1e-5,
+        max_outer: int = 12,
+        inner_max_iter: int = 60,
     ):
         """Mixed-precision iterative refinement: inner GMG-BiCGStab solves
         in the preconditioner dtype (f32), residual updates in f64.
@@ -140,14 +140,29 @@ class PoissonSolver:
         u = jnp.zeros_like(f)
         fnorm = float(jnp.linalg.norm(f.ravel()))
         info = {"outer_iterations": 0, "residual": 1.0}
+        best_u, best_rel = u, float("inf")
         for k in range(max_outer):
             r = f - apply64(u)
             rel = float(jnp.linalg.norm(r.ravel())) / fnorm
+            if not np.isfinite(rel):
+                # inner f32 solve broke down (rho/omega underflow) — back
+                # off to the best iterate; the caller can fall back to the
+                # full-precision path
+                u = best_u
+                info["residual"] = best_rel
+                info["breakdown"] = True
+                break
+            if rel < best_rel:
+                best_u, best_rel = u, rel
             info["residual"] = rel
             info["outer_iterations"] = k
             if rel <= tol:
                 break
+            if k > 2 and rel > 0.5 * best_rel and rel > 10 * tol:
+                # stagnation: f32 inner solves can't improve further
+                break
             e = inner(r.astype(pdtype))
+            e = jnp.where(jnp.isfinite(e), e, 0.0)
             u = u + e.astype(jnp.float64)
         return u, info
 
