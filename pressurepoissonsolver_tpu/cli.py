@@ -37,7 +37,8 @@ def build_parser(D: int) -> argparse.ArgumentParser:
     p.add_argument("--solver", type=str, default="bicgstab",
                    choices=["bicgstab", "cg"], help="Krylov method")
     p.add_argument("--prec", type=str, default="GMG",
-                   choices=["GMG", "Schwarz", "cheb", "none"], help="preconditioner")
+                   choices=["GMG", "Schwarz", "cheb", "BlockJacobi", "none"],
+                   help="preconditioner (cheb/BlockJacobi apply to --schur)")
     p.add_argument("--patch_solver", type=str, default="dft",
                    choices=["dft", "fftw", "bcgs"],
                    help="per-patch solver (fftw is an alias of the spectral dft)")
@@ -153,11 +154,16 @@ def main(D: int, argv=None) -> int:
     )
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     pdtype = jnp.float32 if args.dtype in ("float32", "mixed") else jnp.float64
+    prec_map = {"GMG": "gmg", "Schwarz": "schwarz", "cheb": "none",
+                "BlockJacobi": "none", "none": "none"}
     opts = SolveOptions(
         tol=args.tolerance,
         max_iter=args.max_iterations,
         gmg=gmg_opts,
         precondition=(args.prec == "GMG" and not args.schur),
+        preconditioner="none" if args.schur else prec_map[args.prec],
+        krylov=args.solver,
+        patch_solver="dft" if args.patch_solver == "fftw" else args.patch_solver,
         dtype=dtype,
         precond_dtype=pdtype,
     )
@@ -177,7 +183,8 @@ def main(D: int, argv=None) -> int:
     for _loop in range(args.loop):
         timer.start("Linear Solve")
         if args.schur:
-            u, res = solver.solve_schur(f)
+            schur_prec = {"cheb": "cheb", "BlockJacobi": "blockjacobi"}.get(args.prec)
+            u, res = solver.solve_schur(f, preconditioner=schur_prec)
         else:
             res = solver.solve(f)
             u = res.x

@@ -70,18 +70,21 @@ class Level:
     """Device tables + jitted core ops for one refinement level."""
 
     def __init__(self, patch_level: PatchLevel, dtype=jnp.float64,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, patch_solver: str = "dft"):
+        self.patch_solver_kind = patch_solver  # "dft" (spectral) | "bcgs"
         self.pl = patch_level
         self.D = patch_level.D
         self.n = patch_level.n
         self.P = patch_level.num_patches
         self.dtype = dtype
         self.m = self.n ** (self.D - 1)
+        # The Pallas kernels compile and validate on TPU, but at the
+        # production patch sizes (n=8..32) XLA's fusion of the same
+        # pipeline currently wins (Mosaic pads 16-wide tiles to the
+        # 128-lane registers; measured 2-5x slower at n=16), so the XLA
+        # path is the default.  Flip on for experimentation/large n.
         if use_pallas is None:
-            try:
-                use_pallas = jax.default_backend() == "tpu"
-            except Exception:
-                use_pallas = False
+            use_pallas = False
         self.use_pallas = use_pallas
         self._pallas_interpret = False  # tests flip this to run on CPU
 
@@ -330,9 +333,20 @@ class Level:
         return self._spectral_solve(self._fold_faces_into_rhs(f, gf))
 
     def patch_solve(self, f: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
-        """Exact per-patch solves by spectral diagonalization, batched per
-        BC-homogeneous group (``FftwPatchSolver.h:173-206``)."""
-        return self._spectral_solve(self._fold_gamma_into_rhs(f, gamma))
+        """Exact per-patch solves: spectral diagonalization by default
+        (``FftwPatchSolver.h:173-206``), or batched per-patch BiCGStab when
+        constructed with ``patch_solver="bcgs"`` (the reference
+        ``BiCGStabSolver`` fallback)."""
+        fc = self._fold_gamma_into_rhs(f, gamma)
+        if self.patch_solver_kind == "bcgs":
+            from .patch_bcgs import batched_patch_bicgstab
+
+            zero_g = jnp.zeros((self.num_ifaces, self.m), dtype=f.dtype)
+            return batched_patch_bicgstab(
+                lambda u: self.apply_with_interface(u, zero_g), fc,
+                tol=1e-12, max_iter=500,
+            )
+        return self._spectral_solve(fc)
 
     def _spectral_solve(self, fc: jnp.ndarray) -> jnp.ndarray:
         D, n = self.D, self.n

@@ -52,34 +52,37 @@ def _vmem_spec(block_shape=None, index_map=None):
 
 def _solve_kernel(D: int, n: int, scale: float, pin_dc: bool,
                   f_ref, denom_ref, *refs):
-    # refs: fwd mats (D), inv mats (D), out_ref
+    """Spectral solve on one VMEM-resident patch block.
+
+    All axis motion is expressed through ``dot_general`` contractions
+    (which append the transformed axis at the end) — no reshape or
+    transpose ops, which Mosaic cannot always lower.  Contracting the
+    spatial axes x, y(, z) in order turns layout ``[B, (z, y,) x]`` into
+    the reversed ``[B, X(, Y, Z)]``; the denominator is fed in that
+    permuted layout, and the inverse transforms (reverse order) restore
+    the original layout exactly.
+    """
     fwd = refs[:D]
     inv = refs[D : 2 * D]
     out_ref = refs[2 * D]
-    x = f_ref[...]
-    B = x.shape[0]
+    x = f_ref[...]  # [B, (z, y,) x]
+    ndim = D + 1
 
-    def apply_axis(x, M, arr_ax):
-        # contract over array axis `arr_ax` (1..D) with matrix M [n, n]
-        moved = jnp.moveaxis(x, arr_ax, -1)
-        shp = moved.shape
-        y = jnp.dot(
-            moved.reshape(-1, n), M.T, preferred_element_type=x.dtype
-        )
-        return jnp.moveaxis(y.reshape(shp), -1, arr_ax)
+    def contract(x, M, axis):
+        dn = (((axis,), (1,)), ((), ()))
+        return jax.lax.dot_general(x, M, dn, preferred_element_type=x.dtype)
 
-    for a in range(D):
-        x = apply_axis(x, fwd[a][...], 1 + (D - 1 - a))
+    for a in range(D):  # forward: contract spatial axis a at array pos ndim-1-a
+        x = contract(x, fwd[a][...], ndim - 1 - a)
     x = x / denom_ref[...]
     if pin_dc:
-        # zero the DC mode (index (0,..,0)) of every patch
-        mask = jnp.zeros_like(x, dtype=jnp.bool_)
-        for a in range(D):
-            ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1 + a)
+        mask = jnp.zeros(x.shape, dtype=jnp.bool_)
+        for a in range(1, ndim):
+            ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=a)
             mask = jnp.logical_or(mask, ids != 0)
-        x = jnp.where(mask, x, 0.0)
-    for a in range(D):
-        x = apply_axis(x, inv[a][...], 1 + (D - 1 - a))
+        x = jnp.where(mask, x, jnp.zeros_like(x))
+    for a in range(D - 1, -1, -1):  # inverse: axis a now sits at pos a+1
+        x = contract(x, inv[a][...], a + 1)
     out_ref[...] = x * scale
 
 
@@ -98,6 +101,9 @@ def spectral_solve_block(
     P = f.shape[0]
     D = f.ndim - 1
     n = f.shape[-1]
+    # the kernel's post-transform layout is spatially reversed; feed the
+    # denominator pre-permuted
+    denom = jnp.transpose(denom, (0,) + tuple(range(D, 0, -1)))
     B = min(block, P)
     pad = (-P) % B
     if pad:
@@ -106,8 +112,11 @@ def spectral_solve_block(
         denom = jnp.pad(denom, padding, constant_values=1.0)
     grid = (f.shape[0] // B,)
     blk = (B,) + (n,) * D
-    imap = lambda i: (i,) + (0,) * D
-    mat_spec = _vmem_spec((n, n), lambda i: (0, 0))
+    # under x64 mode, Python-int index-map constants trace as i64 which the
+    # Mosaic compiler rejects — pin them to int32
+    zero = np.int32(0)
+    imap = lambda i: (i,) + (zero,) * D
+    mat_spec = _vmem_spec((n, n), lambda i: (zero, zero))
     kernel = functools.partial(_solve_kernel, D, n, scale, pin_dc)
     out = pl.pallas_call(
         kernel,
@@ -136,8 +145,11 @@ def _stencil_kernel(D: int, n: int, u_ref, gf_ref, h2inv_ref, coef_ref, out_ref)
     out = jnp.zeros_like(u)
     for a in range(D):
         ax = 1 + (D - 1 - a)
-        u_lo = jnp.take(u, 0, axis=ax)
-        u_hi = jnp.take(u, n - 1, axis=ax)
+        # static integer indexing (slices, not gathers — Mosaic-lowerable)
+        idx_lo = tuple([slice(None)] * ax + [0])
+        idx_hi = tuple([slice(None)] * ax + [n - 1])
+        u_lo = u[idx_lo]
+        u_hi = u[idx_hi]
         c_lo = coef[:, 2 * a].reshape((B,) + (1,) * (D - 1))
         c_hi = coef[:, 2 * a + 1].reshape((B,) + (1,) * (D - 1))
         g_lo = gf[:, 2 * a].reshape(face_shape)
@@ -179,16 +191,17 @@ def stencil_block(
         coef = jnp.pad(coef, [(0, pad), (0, 0)])
     grid = (u.shape[0] // B,)
     blk = (B,) + (n,) * D
-    imap = lambda i: (i,) + (0,) * D
+    zero = np.int32(0)
+    imap = lambda i: (i,) + (zero,) * D
     out = pl.pallas_call(
         functools.partial(_stencil_kernel, D, n),
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         grid=grid,
         in_specs=[
             _vmem_spec(blk, imap),
-            _vmem_spec((B, 2 * D, m), lambda i: (i, 0, 0)),
-            _vmem_spec((B, D), lambda i: (i, 0)),
-            _vmem_spec((B, 2 * D), lambda i: (i, 0)),
+            _vmem_spec((B, 2 * D, m), lambda i: (i, zero, zero)),
+            _vmem_spec((B, D), lambda i: (i, zero)),
+            _vmem_spec((B, 2 * D), lambda i: (i, zero)),
         ],
         out_specs=_vmem_spec(blk, imap),
         interpret=interpret,

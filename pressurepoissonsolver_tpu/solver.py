@@ -41,6 +41,9 @@ class SolveOptions:
     # dtype of the preconditioner levels; float32 gives mixed precision
     precond_dtype: object = jnp.float64
     dtype: object = jnp.float64
+    krylov: str = "bicgstab"  # "bicgstab" | "cg"
+    preconditioner: str = "gmg"  # "gmg" | "schwarz" | "none"
+    patch_solver: str = "dft"  # "dft" (spectral) | "bcgs" (iterative)
 
 
 class PoissonSolver:
@@ -49,7 +52,13 @@ class PoissonSolver:
     def __init__(self, hierarchy: DomainHierarchy, options: Optional[SolveOptions] = None):
         self.hierarchy = hierarchy
         self.opts = options or SolveOptions()
-        self.fine_level = Level(hierarchy.finest, dtype=self.opts.dtype)
+        self.fine_level = Level(
+            hierarchy.finest,
+            dtype=self.opts.dtype,
+            patch_solver=self.opts.patch_solver,
+        )
+        if self.opts.preconditioner != "gmg":
+            self.opts.precondition = False
         if self.opts.precondition:
             if self.opts.precond_dtype == self.opts.dtype:
                 # reuse the fine level object for the finest GMG level
@@ -73,6 +82,10 @@ class PoissonSolver:
         return self._apply_jit(u)
 
     def _preconditioner(self) -> Optional[Callable]:
+        if self.opts.preconditioner == "schwarz":
+            from .precond import schwarz
+
+            return schwarz(self.fine_level)
         if self.gmg is None:
             return None
         pdtype = self.opts.precond_dtype
@@ -95,11 +108,14 @@ class PoissonSolver:
         tol = self.opts.tol if tol is None else tol
         max_iter = self.opts.max_iter if max_iter is None else max_iter
         if self._solve_jit is None:
+            from .krylov import cg
+
             A = self.fine_level.apply
             M = self._preconditioner()
+            method = cg if self.opts.krylov == "cg" else bicgstab
 
             def run(b, tol_, max_iter_):
-                return bicgstab(A, b, M=M, tol=tol_, max_iter=max_iter_)
+                return method(A, b, M=M, tol=tol_, max_iter=max_iter_)
 
             self._solve_jit = jax.jit(run, static_argnums=(2,))
         return self._solve_jit(jnp.asarray(f, dtype=self.opts.dtype), tol, max_iter)
@@ -171,6 +187,7 @@ class PoissonSolver:
         f: jnp.ndarray,
         tol: Optional[float] = None,
         max_iter: Optional[int] = None,
+        preconditioner: Optional[str] = None,  # None | "cheb" | "blockjacobi"
     ):
         """Schur-complement path (reference ``--schur``).
 
@@ -192,11 +209,21 @@ class PoissonSolver:
         def A_schur(gamma):
             return gamma - S(gamma)
 
+        M = None
+        if preconditioner == "cheb":
+            from .precond import poly_cheb
+
+            M = poly_cheb(lvl)
+        elif preconditioner == "blockjacobi":
+            from .matrix import schur_block_jacobi
+
+            M = schur_block_jacobi(lvl)
+
         @jax.jit
         def run(f):
             gamma0 = jnp.zeros((lvl.num_ifaces, lvl.m), dtype=f.dtype)
             b = lvl.interpolate(lvl.patch_solve(f, gamma0))
-            res = bicgstab(A_schur, b, tol=tol, max_iter=max_iter)
+            res = bicgstab(A_schur, b, M=M, tol=tol, max_iter=max_iter)
             u = lvl.patch_solve(f, res.x)
             return u, res
 

@@ -130,3 +130,37 @@ def test_iterative_refinement_reaches_tolerance():
     assert info["outer_iterations"] <= 8
     rep = s.report(u, jnp.asarray(f), jnp.asarray(exact))
     assert rep["error"] < 2e-2
+
+
+def test_solver_option_variants():
+    """cg Krylov, Schwarz preconditioner, bcgs patch solver all converge."""
+    t = uniform_tree(2, 3)
+    h = DomainHierarchy(t, n=8)
+    prob = get_problem("trig", 2)
+    f, exact = init_problem(h.finest, prob)
+    f = jnp.asarray(f)
+    for kw in (
+        dict(krylov="cg"),
+        dict(preconditioner="schwarz"),
+        dict(patch_solver="bcgs"),
+    ):
+        s = PoissonSolver(h, SolveOptions(tol=1e-10, **kw))
+        res = s.solve(f)
+        rep = s.report(res.x, f, jnp.asarray(exact))
+        assert rep["residual"] < 1e-9, (kw, rep)
+
+
+def test_schur_preconditioner_variants():
+    t = uniform_tree(2, 3)
+    h = DomainHierarchy(t, n=8)
+    prob = get_problem("trig", 2)
+    f, exact = init_problem(h.finest, prob)
+    f = jnp.asarray(f)
+    s = PoissonSolver(h, SolveOptions(tol=1e-11))
+    its = {}
+    for prec in (None, "cheb", "blockjacobi"):
+        u, res = s.solve_schur(f, preconditioner=prec)
+        rep = s.report(u, f, jnp.asarray(exact))
+        assert rep["residual"] < 1e-9, (prec, rep)
+        its[prec] = int(res.iterations)
+    assert its["blockjacobi"] <= its[None] + 2
