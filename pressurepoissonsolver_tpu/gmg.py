@@ -156,9 +156,9 @@ class Transfer:
                     arr_ax = 1 + (D - 1 - a)
                     moved = jnp.moveaxis(block, arr_ax, -1)
                     shp = moved.shape
-                    block = jnp.moveaxis(
-                        (moved.reshape(-1, n) @ W.T).reshape(shp), -1, arr_ax
-                    )
+                    y = jnp.matmul(moved.reshape(-1, n), W.T,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    block = jnp.moveaxis(y.reshape(shp), -1, arr_ax)
             else:
                 q = self._quadrant_index(o)
                 block = coarse_u[(psel,) + q[1:]]  # [|sel|, (n/2)^D]
@@ -207,7 +207,8 @@ class GMGCycle:
         opts = self.opts
         if k == len(self.levels) - 1:
             if self._coarse_inv is not None:
-                sol = self._coarse_inv.astype(f.dtype) @ f.ravel()
+                sol = jnp.matmul(self._coarse_inv.astype(f.dtype), f.ravel(),
+                                 precision=jax.lax.Precision.HIGHEST)
                 return sol.reshape(f.shape)
             u = lvl.zeros().astype(f.dtype)
             for _ in range(opts.coarse_sweeps):

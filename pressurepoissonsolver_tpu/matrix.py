@@ -230,7 +230,10 @@ def schur_block_jacobi(level, A_S: sp.csr_matrix = None):
     binv_j = jnp.asarray(binv, dtype=level.dtype)
 
     def M(gamma):
-        return jnp.einsum("bij,bj->bi", binv_j, gamma)
+        import jax
+
+        return jnp.einsum("bij,bj->bi", binv_j, gamma,
+                          precision=jax.lax.Precision.HIGHEST)
 
     return M
 

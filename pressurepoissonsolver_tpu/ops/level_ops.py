@@ -237,7 +237,13 @@ class Level:
         parts = []
         for case, start, stop in self._contrib_groups:
             rows = jax.lax.slice_in_dim(g, start, stop, axis=0)
-            parts.append(rows @ self._case_T[case].T.astype(u.dtype))
+            # true-f32 precision: the default bf16 MXU passes cost ~3 digits,
+            # which the 2/h^2 ghost closure amplifies into O(1e-3) operator
+            # error — fatal for Krylov in f32
+            parts.append(
+                jnp.matmul(rows, self._case_T[case].T.astype(u.dtype),
+                           precision=jax.lax.Precision.HIGHEST)
+            )
         vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         # gather-form reduction onto interfaces (row C is the zero pad)
         vals_padded = jnp.concatenate(
@@ -324,7 +330,8 @@ class Level:
         n = M.shape[0]
         moved = jnp.moveaxis(x, ax, -1)
         shape = moved.shape
-        y = moved.reshape(-1, n) @ M.T
+        y = jnp.matmul(moved.reshape(-1, n), M.T,
+                       precision=jax.lax.Precision.HIGHEST)
         return jnp.moveaxis(y.reshape(shape), -1, ax)
 
     def patch_solve_faces(self, f: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:

@@ -70,7 +70,8 @@ def _solve_kernel(D: int, n: int, scale: float, pin_dc: bool,
 
     def contract(x, M, axis):
         dn = (((axis,), (1,)), ((), ()))
-        return jax.lax.dot_general(x, M, dn, preferred_element_type=x.dtype)
+        return jax.lax.dot_general(x, M, dn, preferred_element_type=x.dtype,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     for a in range(D):  # forward: contract spatial axis a at array pos ndim-1-a
         x = contract(x, fwd[a][...], ndim - 1 - a)
