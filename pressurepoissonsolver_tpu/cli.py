@@ -66,6 +66,10 @@ def build_parser(D: int) -> argparse.ArgumentParser:
                    help="write VTK multiblock output to PATH.vtm")
     p.add_argument("--out-json", type=str, default=None,
                    help="write solve metrics to a JSON file")
+    p.add_argument("--out-matrix", type=str, default=None,
+                   help="write the assembled operator (scipy .npz CSR)")
+    p.add_argument("--out-rhs", type=str, default=None,
+                   help="write the RHS vector (.npy)")
     p.add_argument("--config", type=str, default=None, help="read options from ini file")
     p.add_argument("--output-config", type=str, default=None,
                    help="write the effective options to an ini file")
@@ -212,6 +216,16 @@ def main(D: int, argv=None) -> int:
             },
             args.out_vtk,
         )
+    if args.out_matrix:
+        import scipy.sparse as sp
+
+        from .matrix import assemble_composite
+
+        sp.save_npz(args.out_matrix, assemble_composite(hierarchy.finest))
+    if args.out_rhs:
+        import numpy as _np
+
+        _np.save(args.out_rhs, _np.asarray(f))
     if args.out_json:
         with open(args.out_json, "w") as fh:
             json.dump(

@@ -33,6 +33,71 @@ class KrylovResult(NamedTuple):
     r0_norm: jnp.ndarray
 
 
+def residual_history(
+    A: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    M: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol: float = 1e-12,
+    max_iter: int = 100,
+) -> Tuple[KrylovResult, jnp.ndarray]:
+    """BiCGStab with a per-iteration residual-norm history (observability
+    the reference lacks — its BiCGStab reports only the final count,
+    ``BiCGStab.h:70-105``).  Runs exactly ``max_iter`` iterations inside a
+    ``fori_loop`` with converged iterates frozen; returns the history
+    array ``[max_iter+1]`` (entries after convergence repeat the final
+    residual)."""
+    x = jnp.zeros_like(b)
+    r = b - A(x)
+    r0 = _norm(r)
+    rhat, p, rho = r, r, _dot(r, r)
+    hist0 = jnp.zeros(max_iter + 1, dtype=r0.dtype).at[0].set(r0)
+
+    def prec(v):
+        return v if M is None else M(v)
+
+    def body(k, state):
+        x, r, p, rho, hist, done = state
+        mp = prec(p)
+        ap = A(mp)
+        denom = _dot(rhat, ap)
+        alpha = jnp.where(denom != 0, rho / jnp.where(denom != 0, denom, 1.0), 0.0)
+        s = r - alpha * ap
+        ms = prec(s)
+        as_ = A(ms)
+        d2 = _dot(as_, as_)
+        omega = jnp.where(d2 != 0, _dot(as_, s) / jnp.where(d2 != 0, d2, 1.0), 0.0)
+        x_new = x + alpha * mp + omega * ms
+        r_new = r - alpha * ap - omega * as_
+        rho_new = _dot(r_new, rhat)
+        beta = jnp.where(
+            rho * omega != 0,
+            rho_new * alpha / jnp.where(rho * omega != 0, rho * omega, 1.0),
+            0.0,
+        )
+        p_new = beta * (p - omega * ap) + r_new
+        active = jnp.logical_not(done)
+        mk = active.astype(x.dtype)
+        x = x + mk * (x_new - x)
+        r = r + mk * (r_new - r)
+        p = p + mk * (p_new - p)
+        rho = jnp.where(active, rho_new, rho)
+        rn = _norm(r)
+        hist = hist.at[k + 1].set(rn)
+        done = jnp.logical_or(done, rn / r0 <= tol)
+        return (x, r, p, rho, hist, done)
+
+    x, r, p, rho, hist, done = jax.lax.fori_loop(
+        0, max_iter, body, (x, r, p, rho, hist0, jnp.bool_(False))
+    )
+    rel = hist / r0
+    iters = jnp.argmax(rel <= tol)
+    iters = jnp.where(jnp.any(rel <= tol), iters, max_iter)
+    return (
+        KrylovResult(x=x, iterations=iters.astype(jnp.int32), residual_norm=_norm(r), r0_norm=r0),
+        hist,
+    )
+
+
 def bicgstab(
     A: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,

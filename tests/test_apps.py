@@ -65,3 +65,36 @@ def test_timer_report():
     rep = t.report()
     assert "A" in rep and "B (2 repeats)" in rep
     assert t["A"] >= 0
+
+
+def test_residual_history():
+    import jax.numpy as jnp
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import uniform_tree
+    from pressurepoissonsolver_tpu.krylov import residual_history
+    from pressurepoissonsolver_tpu.ops.level_ops import Level
+    from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+
+    t = uniform_tree(2, 3)
+    h = DomainHierarchy(t, n=4)
+    lvl = Level(h.finest)
+    f, _ = init_problem(h.finest, get_problem("trig", 2))
+    res, hist = residual_history(lvl.apply, jnp.asarray(f), tol=1e-10, max_iter=100)
+    hist = np.asarray(hist)
+    assert hist[0] > 0
+    assert float(res.residual_norm / res.r0_norm) < 1e-10
+    # residual history is meaningful: strictly decreasing overall
+    assert hist[int(res.iterations)] / hist[0] < 1e-10
+
+
+def test_out_matrix_rhs(tmp_path):
+    import scipy.sparse as sp
+
+    mpath = str(tmp_path / "A.npz")
+    rpath = str(tmp_path / "rhs.npy")
+    rc = main(2, ["--uniform", "2", "-n", "4", "-t", "1e-10",
+                  "--out-matrix", mpath, "--out-rhs", rpath])
+    assert rc == 0
+    A = sp.load_npz(mpath)
+    rhs = np.load(rpath)
+    assert A.shape[0] == rhs.size
