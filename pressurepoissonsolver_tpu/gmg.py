@@ -49,7 +49,7 @@ class CycleOpts:
     # many DOF and invert its assembled operator once (a single matmul per
     # cycle — far cheaper on TPU than descending a deep tail of tiny
     # levels, and a stronger coarse correction than smoothing sweeps).
-    coarse_direct_max_dof: int = 2048
+    coarse_direct_max_dof: int = 4096
     coarse_direct: bool = True
 
 
@@ -156,8 +156,7 @@ class Transfer:
                     arr_ax = 1 + (D - 1 - a)
                     moved = jnp.moveaxis(block, arr_ax, -1)
                     shp = moved.shape
-                    y = jnp.matmul(moved.reshape(-1, n), W.T,
-                                   precision=jax.lax.Precision.HIGHEST)
+                    y = moved.reshape(-1, n) @ W.T
                     block = jnp.moveaxis(y.reshape(shp), -1, arr_ax)
             else:
                 q = self._quadrant_index(o)
@@ -207,8 +206,7 @@ class GMGCycle:
         opts = self.opts
         if k == len(self.levels) - 1:
             if self._coarse_inv is not None:
-                sol = jnp.matmul(self._coarse_inv.astype(f.dtype), f.ravel(),
-                                 precision=jax.lax.Precision.HIGHEST)
+                sol = self._coarse_inv.astype(f.dtype) @ f.ravel()
                 return sol.reshape(f.shape)
             u = lvl.zeros().astype(f.dtype)
             for _ in range(opts.coarse_sweeps):

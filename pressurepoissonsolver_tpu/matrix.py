@@ -230,10 +230,7 @@ def schur_block_jacobi(level, A_S: sp.csr_matrix = None):
     binv_j = jnp.asarray(binv, dtype=level.dtype)
 
     def M(gamma):
-        import jax
-
-        return jnp.einsum("bij,bj->bi", binv_j, gamma,
-                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("bij,bj->bi", binv_j, gamma)
 
     return M
 

@@ -124,6 +124,17 @@ class Level:
                     if w != 0.0:
                         case_T[k, i, t.case_src[k, i, kk]] += w
         self._case_T = f(case_T).astype(dtype)  # [ncase, m, m]
+        # cases whose template is a scalar multiple of the identity
+        # (normal = I/2, c2c = I/3 — the bulk of all contributions) are
+        # applied as elementwise scalings: exact at any precision and far
+        # cheaper than a matmul
+        self._case_scalar = []
+        for k in range(ncase):
+            diag = np.diag(case_T[k])
+            if np.allclose(case_T[k], np.diag(diag)) and np.allclose(diag, diag[0] if m else 0):
+                self._case_scalar.append(float(diag[0]) if m else 0.0)
+            else:
+                self._case_scalar.append(None)
 
         order = np.argsort(t.contrib_case, kind="stable")
         self._c_patch_sorted = f(t.contrib_patch[order])
@@ -237,13 +248,19 @@ class Level:
         parts = []
         for case, start, stop in self._contrib_groups:
             rows = jax.lax.slice_in_dim(g, start, stop, axis=0)
-            # true-f32 precision: the default bf16 MXU passes cost ~3 digits,
-            # which the 2/h^2 ghost closure amplifies into O(1e-3) operator
-            # error — fatal for Krylov in f32
-            parts.append(
-                jnp.matmul(rows, self._case_T[case].T.astype(u.dtype),
-                           precision=jax.lax.Precision.HIGHEST)
-            )
+            w = self._case_scalar[case]
+            if w is not None:
+                # identity-scaled template: exact elementwise scaling
+                parts.append(rows * jnp.asarray(w, dtype=u.dtype))
+            else:
+                # refinement-boundary cases: true-f32 matmul (the default
+                # bf16 MXU passes cost ~3 digits, which the 2/h^2 ghost
+                # closure amplifies into O(1e-3) operator error — fatal for
+                # f32 Krylov)
+                parts.append(
+                    jnp.matmul(rows, self._case_T[case].T.astype(u.dtype),
+                               precision=jax.lax.Precision.HIGHEST)
+                )
         vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         # gather-form reduction onto interfaces (row C is the zero pad)
         vals_padded = jnp.concatenate(
@@ -330,8 +347,9 @@ class Level:
         n = M.shape[0]
         moved = jnp.moveaxis(x, ax, -1)
         shape = moved.shape
-        y = jnp.matmul(moved.reshape(-1, n), M.T,
-                       precision=jax.lax.Precision.HIGHEST)
+        # default matmul precision: the spectral solves only serve the
+        # smoother/preconditioner, where bf16 MXU passes are plenty
+        y = moved.reshape(-1, n) @ M.T
         return jnp.moveaxis(y.reshape(shape), -1, ax)
 
     def patch_solve_faces(self, f: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:

@@ -68,7 +68,7 @@ def test_gmg_iterations_mesh_independent():
     """The algorithmic-quality bar (BASELINE.md): iteration counts should be
     nearly mesh-independent with the GMG preconditioner."""
     its = []
-    for levels in (4, 5, 6):  # 4k, 16k, 65k DOF — above the direct-coarse cap
+    for levels in (5, 6, 7):  # 16k, 65k, 262k DOF — above the direct-coarse cap
         res, rep = _solve(2, levels=levels, n=8)
         assert rep["residual"] < 1e-10
         its.append(int(res.iterations))
