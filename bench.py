@@ -64,7 +64,7 @@ def main():
             # mixed-precision iterative refinement: f32 Krylov + GMG inner
             # solves, f64 residual updates — reaches 1e-10 with nearly all
             # work in f32
-            u, info = solver.solve_refined(f, tol=1e-10, inner_tol=1e-7)
+            u, info = solver.solve_refined(f, tol=1e-10)
             return u, info["residual"]
 
         res = solver.solve(f, max_iter=200)
