@@ -97,12 +97,6 @@ class Level:
         f = lambda x: jnp.asarray(x)
         self.iface_idx = f(t.iface_side_idx)
         self.iface_mask = f(t.iface_side_mask)
-        self.contrib_patch = f(t.contrib_patch)
-        self.contrib_side = f(t.contrib_side)
-        self.contrib_iface = f(t.contrib_iface)
-        self.contrib_case = f(t.contrib_case)
-        self.case_w = f(t.case_w.astype(np.float64)).astype(dtype)
-        self.case_src = f(t.case_src)
 
         # gather-form of the interface reduction: per interface, the (padded)
         # list of contribution rows that accumulate into it — turns the

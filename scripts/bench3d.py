@@ -1,0 +1,58 @@
+"""3D benchmark: time-to-1e-10 residual for the 3D FAC V-cycle solve
+(the second BASELINE.json headline metric)."""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import Tree
+    from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+    from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+    mesh = os.environ.get(
+        "PPS_BENCH3D_MESH", "/root/reference/apps/3d/meshes/multi_refine.bin"
+    )
+    n = int(os.environ.get("PPS_BENCH3D_N", "16"))
+    divide = int(os.environ.get("PPS_BENCH3D_DIVIDE", "0"))
+    tree = Tree.from_file(mesh, 3)
+    for _ in range(divide):
+        tree.refine_leaves()
+    h = DomainHierarchy(tree, n=n)
+    dof = h.finest.num_cells
+    s = PoissonSolver(
+        h, SolveOptions(tol=1e-10, precond_dtype=jnp.float32)
+    )
+    f, exact = init_problem(h.finest, get_problem("trig", 3))
+    f = jnp.asarray(f)
+    res = s.solve(f, max_iter=100)
+    res.x.block_until_ready()
+    t0 = time.time()
+    res = s.solve(f, max_iter=100)
+    res.x.block_until_ready()
+    dt = time.time() - t0
+    rep = s.report(res.x, f, jnp.asarray(exact))
+    print(
+        json.dumps(
+            {
+                "metric": "3d_adaptive_time_to_1e-10_s",
+                "value": round(dt, 4),
+                "unit": "s",
+                "dof": dof,
+                "dof_per_s": round(dof / dt, 1),
+                "iterations": int(res.iterations),
+                "residual": rep["residual"],
+                "error": rep["error"],
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
