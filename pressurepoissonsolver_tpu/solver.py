@@ -73,6 +73,10 @@ class PoissonSolver:
         self._solve_jit = None
         self._apply_jit = None
         self._fine_low = None
+        self._inner_jit = None
+        self._inner_jit_key = None
+        self._schur_jit = None
+        self._schur_jit_key = None
 
     # -- operators ----------------------------------------------------------
 
@@ -143,13 +147,19 @@ class PoissonSolver:
             else:
                 self._fine_low = Level(self.hierarchy.finest, dtype=pdtype)
         low = self._fine_low
-        M = (lambda r: self.gmg.apply(r)) if self.gmg is not None else None
+        key = (inner_tol, inner_max_iter)
+        if self._inner_jit_key != key:
+            M = (lambda r: self.gmg.apply(r)) if self.gmg is not None else None
 
-        @jax.jit
-        def inner(r32):
-            return bicgstab(
-                low.apply, r32, M=M, tol=inner_tol, max_iter=inner_max_iter
-            ).x
+            @jax.jit
+            def inner(r32):
+                return bicgstab(
+                    low.apply, r32, M=M, tol=inner_tol, max_iter=inner_max_iter
+                ).x
+
+            self._inner_jit = inner
+            self._inner_jit_key = key
+        inner = self._inner_jit
 
         apply64 = self.apply
         f = jnp.asarray(f, dtype=jnp.float64)
@@ -209,25 +219,30 @@ class PoissonSolver:
         def A_schur(gamma):
             return gamma - S(gamma)
 
-        M = None
-        if preconditioner == "cheb":
-            from .precond import poly_cheb
+        key = (preconditioner, tol, max_iter)
+        if self._schur_jit_key != key:
+            M = None
+            if preconditioner == "cheb":
+                from .precond import poly_cheb
 
-            M = poly_cheb(lvl)
-        elif preconditioner == "blockjacobi":
-            from .matrix import schur_block_jacobi
+                M = poly_cheb(lvl)
+            elif preconditioner == "blockjacobi":
+                from .matrix import schur_block_jacobi
 
-            M = schur_block_jacobi(lvl)
+                M = schur_block_jacobi(lvl)
 
-        @jax.jit
-        def run(f):
-            gamma0 = jnp.zeros((lvl.num_ifaces, lvl.m), dtype=f.dtype)
-            b = lvl.interpolate(lvl.patch_solve(f, gamma0))
-            res = bicgstab(A_schur, b, M=M, tol=tol, max_iter=max_iter)
-            u = lvl.patch_solve(f, res.x)
-            return u, res
+            @jax.jit
+            def run(f):
+                gamma0 = jnp.zeros((lvl.num_ifaces, lvl.m), dtype=f.dtype)
+                b = lvl.interpolate(lvl.patch_solve(f, gamma0))
+                res = bicgstab(A_schur, b, M=M, tol=tol, max_iter=max_iter)
+                u = lvl.patch_solve(f, res.x)
+                return u, res
 
-        return run(f)
+            self._schur_jit = run
+            self._schur_jit_key = key
+
+        return self._schur_jit(f)
 
     # -- diagnostics --------------------------------------------------------
 
