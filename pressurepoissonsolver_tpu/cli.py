@@ -35,7 +35,7 @@ def build_parser(D: int) -> argparse.ArgumentParser:
     p.add_argument("--problem", type=str, default="trig",
                    help="trig|gauss|zero|circle|'trig gauss' (2D) / trig|gauss|zero (3D)")
     p.add_argument("--solver", type=str, default="bicgstab",
-                   choices=["bicgstab", "cg"], help="Krylov method")
+                   choices=["bicgstab", "cg", "gmres"], help="Krylov method")
     p.add_argument("--prec", type=str, default="GMG",
                    choices=["GMG", "Schwarz", "cheb", "BlockJacobi", "none"],
                    help="preconditioner (cheb/BlockJacobi apply to --schur)")

@@ -113,6 +113,33 @@ class Transfer:
         self._pt_fine = jnp.asarray(sel) if len(sel) else None
         self._pt_parent = jnp.asarray(pslots[sel]) if len(sel) else None
 
+        # --- gather-form tables (no device scatters: element-granular
+        # scatter-adds are ~20-30x slower than row gathers on TPU) ---------
+        Pf, Pc = fine.P, coarse.P
+        # restriction: per coarse patch, the fine slot of each orthant child
+        # (Pf = zero-pad row) and the pass-through fine slot
+        child_slot = np.full((Pc, 1 << D), Pf, dtype=np.int32)
+        pt_slot = np.full(Pc, Pf, dtype=np.int32)
+        for i in range(Pf):
+            ps = pslots[i]
+            if ps < 0:
+                continue  # padded dummy patch
+            if passthrough[i]:
+                pt_slot[ps] = i
+            else:
+                child_slot[ps, orth[i]] = i
+        self._child_slot = jnp.asarray(child_slot)
+        self._pt_slot = jnp.asarray(pt_slot)
+        # prolongation: the concat order of (orthant groups..., passthrough)
+        # rows, inverted so one row gather re-scatters blocks to fine slots
+        order = [np.asarray(fsel) for _, fsel, _ in self._groups]
+        if self._pt_fine is not None:
+            order.append(np.asarray(self._pt_fine))
+        order = np.concatenate(order) if order else np.zeros(0, dtype=np.int64)
+        inv = np.full(Pf, len(order), dtype=np.int32)  # pad row = zeros
+        inv[order] = np.arange(len(order), dtype=np.int32)
+        self._prolong_inv = jnp.asarray(inv)
+
     def _quadrant_index(self, o: int):
         """Array-index tuple selecting orthant ``o``'s block of a coarse
         patch (reference ``AvgRstr.h:66-72``: bit a of ``o`` set = upper
@@ -128,45 +155,83 @@ class Transfer:
         return tuple(idx)
 
     def restrict(self, fine_u: jnp.ndarray) -> jnp.ndarray:
-        """Cell-averaging restriction into a new coarse-level vector."""
+        """Cell-averaging restriction into a new coarse-level vector.
+
+        Pure gather form: per orthant, gather the pooled child blocks by the
+        coarse-side child table, assemble the 2^D quadrants with concats,
+        and gather pass-through patches — no device scatter-adds."""
         D, n = self.D, self.n
         # average-pool by 2 along every spatial axis
         shape = [fine_u.shape[0]]
         for _ in range(D):
             shape += [n // 2, 2]
         pooled = fine_u.reshape(shape).mean(axis=tuple(range(2, 2 * D + 2, 2)))
-        coarse = self.coarse.zeros().astype(fine_u.dtype)
-        for o, fsel, psel in self._groups:
-            q = self._quadrant_index(o)
-            block = pooled[fsel]
-            coarse = coarse.at[(psel,) + q[1:]].add(block)
-        if self._pt_fine is not None:
-            coarse = coarse.at[self._pt_parent].add(fine_u[self._pt_fine])
-        return coarse
+        zrow = jnp.zeros((1,) + pooled.shape[1:], dtype=fine_u.dtype)
+        pooled_pad = jnp.concatenate([pooled, zrow], axis=0)
+        # blocks[o] = the orthant-o child block of every coarse patch
+        blocks = {o: pooled_pad[self._child_slot[:, o]] for o in range(1 << D)}
+        # combine pairs along each spatial axis: bit a of o = upper half
+        for a in range(D):
+            arr_ax = 1 + (D - 1 - a)
+            merged = {}
+            for o in blocks:
+                if (o >> a) & 1:
+                    continue
+                hi = o | (1 << a)
+                merged[o] = jnp.concatenate([blocks[o], blocks[hi]], axis=arr_ax)
+            blocks = merged
+        assembled = blocks[0]  # [Pc, n, n(, n)]
+        fine_pad = jnp.concatenate(
+            [fine_u, jnp.zeros((1,) + fine_u.shape[1:], dtype=fine_u.dtype)], axis=0
+        )
+        return assembled + fine_pad[self._pt_slot]
+
+    def _prolong_block(self, coarse_u: jnp.ndarray, o: int, psel) -> jnp.ndarray:
+        """The orthant-``o`` prolongation block for parent rows ``psel``."""
+        D, n = self.D, self.n
+        if self.prolong_mode == "linear":
+            block = coarse_u[psel]  # full parent patch [|sel|, n^D]
+            for a in range(D):
+                bit = (o >> a) & 1
+                W = self._wlin[bit].astype(block.dtype)
+                arr_ax = 1 + (D - 1 - a)
+                moved = jnp.moveaxis(block, arr_ax, -1)
+                shp = moved.shape
+                y = moved.reshape(-1, n) @ W.T
+                block = jnp.moveaxis(y.reshape(shp), -1, arr_ax)
+            return block
+        q = self._quadrant_index(o)
+        block = coarse_u[(psel,) + q[1:]]  # [|sel|, (n/2)^D]
+        for a in range(D):
+            # piecewise-constant x2 upsample as broadcast+reshape
+            ax = 1 + a
+            block = jnp.expand_dims(block, ax + 1)
+            tile = [1] * block.ndim
+            tile[ax + 1] = 2
+            block = jnp.tile(block, tile)
+            shp = list(block.shape)
+            shp[ax] *= 2
+            del shp[ax + 1]
+            block = block.reshape(shp)
+        return block
 
     def prolong_add(self, coarse_u: jnp.ndarray, fine_u: jnp.ndarray) -> jnp.ndarray:
-        """Prolongation (constant or linear), added into ``fine_u``."""
-        D, n = self.D, self.n
-        for o, fsel, psel in self._groups:
-            if self.prolong_mode == "linear":
-                block = coarse_u[psel]  # full parent patch [|sel|, n^D]
-                for a in range(D):
-                    bit = (o >> a) & 1
-                    W = self._wlin[bit].astype(block.dtype)
-                    arr_ax = 1 + (D - 1 - a)
-                    moved = jnp.moveaxis(block, arr_ax, -1)
-                    shp = moved.shape
-                    y = moved.reshape(-1, n) @ W.T
-                    block = jnp.moveaxis(y.reshape(shp), -1, arr_ax)
-            else:
-                q = self._quadrant_index(o)
-                block = coarse_u[(psel,) + q[1:]]  # [|sel|, (n/2)^D]
-                for a in range(D):
-                    block = jnp.repeat(block, 2, axis=1 + a)
-            fine_u = fine_u.at[fsel].add(block)
+        """Prolongation (constant or linear), added into ``fine_u``.
+
+        Gather form: compute each orthant group's blocks, stack them with the
+        pass-through rows, and route rows to fine slots with one precomputed
+        row gather (no scatter-adds)."""
+        parts = [
+            self._prolong_block(coarse_u, o, psel) for o, _, psel in self._groups
+        ]
         if self._pt_fine is not None:
-            fine_u = fine_u.at[self._pt_fine].add(coarse_u[self._pt_parent])
-        return fine_u
+            parts.append(coarse_u[self._pt_parent])
+        if not parts:
+            return fine_u
+        stacked = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        zrow = jnp.zeros((1,) + stacked.shape[1:], dtype=stacked.dtype)
+        stacked_pad = jnp.concatenate([stacked, zrow], axis=0)
+        return fine_u + stacked_pad[self._prolong_inv]
 
 
 class GMGCycle:

@@ -146,6 +146,128 @@ def bicgstab(
     return KrylovResult(x=x, iterations=k, residual_norm=_norm(r), r0_norm=r0_norm)
 
 
+def gmres(
+    A: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    M: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol: float = 1e-12,
+    restart: int = 30,
+    max_iter: int = 1000,
+) -> KrylovResult:
+    """Right-preconditioned restarted GMRES(restart), fully jittable.
+
+    The matrix-free Krylov method the reference reaches through PETSc KSP
+    (``-ksp_type gmres`` via ``--petsc_opts``, ``apps/2d/steady.cpp:195``)
+    and the BASELINE "Schur-complement interface system solved with
+    matrix-free GMRES" configuration.  Arnoldi runs as a fixed-length
+    ``fori_loop`` with masked modified-Gram-Schmidt (converged state is
+    frozen), Givens rotations triangularize H on the fly, and restart
+    cycles run under ``lax.while_loop`` — one XLA computation per solve.
+    """
+    shape = b.shape
+    dtype = b.dtype
+    N = int(b.size)
+    bf = b.ravel()
+
+    def Af(v):
+        return A(v.reshape(shape)).ravel()
+
+    def Mf(v):
+        return v if M is None else M(v.reshape(shape)).ravel()
+
+    x = jnp.zeros_like(bf) if x0 is None else x0.ravel()
+    r = bf - Af(x)
+    r0_norm = _norm(r)
+    # tolerance on ||r||/||r0|| (matches bicgstab/cg above)
+    target = r0_norm * tol
+
+    def cycle(state):
+        x, rnorm, it = state
+        r = bf - Af(x)
+        beta = _norm(r)
+        safe_beta = jnp.where(beta != 0, beta, 1.0)
+        V0 = jnp.zeros((restart + 1, N), dtype=dtype).at[0].set(r / safe_beta)
+        H = jnp.zeros((restart + 1, restart), dtype=dtype)
+        cs = jnp.zeros(restart, dtype=dtype)
+        sn = jnp.zeros(restart, dtype=dtype)
+        g = jnp.zeros(restart + 1, dtype=dtype).at[0].set(beta)
+        done0 = beta <= target
+
+        def arnoldi(j, st):
+            V, H, cs, sn, g, done, kdone = st
+            w = Af(Mf(V[j]))
+            # masked modified Gram-Schmidt (one CGS pass + re-orth pass,
+            # masked to rows i <= j; adequate with the re-orthogonalization)
+            mask = (jnp.arange(restart + 1) <= j).astype(dtype)
+            h1 = (V @ w) * mask
+            w = w - V.T @ h1
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            h = h1 + h2
+            wnorm = _norm(w)
+            h = h.at[j + 1].set(wnorm)
+            safe_w = jnp.where(wnorm != 0, wnorm, 1.0)
+            V_new = V.at[j + 1].set(w / safe_w)
+            # apply previous Givens rotations to the new column (masked scan
+            # over all slots; inactive slots are identity since cs=1 sn=0
+            # only after being set — we mask explicitly instead)
+            def rot(i, hcol):
+                act = (i < j).astype(dtype)
+                t1 = cs[i] * hcol[i] + sn[i] * hcol[i + 1]
+                t2 = -sn[i] * hcol[i] + cs[i] * hcol[i + 1]
+                hcol = hcol.at[i].set(act * t1 + (1 - act) * hcol[i])
+                hcol = hcol.at[i + 1].set(act * t2 + (1 - act) * hcol[i + 1])
+                return hcol
+
+            h = jax.lax.fori_loop(0, restart, rot, h)
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            safe_d = jnp.where(denom != 0, denom, 1.0)
+            cj = jnp.where(denom != 0, h[j] / safe_d, 1.0)
+            sj = jnp.where(denom != 0, h[j + 1] / safe_d, 0.0)
+            h = h.at[j].set(cj * h[j] + sj * h[j + 1]).at[j + 1].set(0.0)
+            g_j1 = -sj * g[j]
+            g_new = g.at[j + 1].set(g_j1).at[j].set(cj * g[j])
+            active = jnp.logical_not(done)
+
+            def upd(orig, new):
+                return jnp.where(active, new, orig)
+
+            V = upd(V, V_new)
+            H = upd(H, H.at[:, j].set(h))
+            cs = upd(cs, cs.at[j].set(cj))
+            sn = upd(sn, sn.at[j].set(sj))
+            g = upd(g, g_new)
+            kdone = jnp.where(active, j + 1, kdone)
+            done = jnp.logical_or(done, jnp.abs(g_j1) <= target)
+            return (V, H, cs, sn, g, done, kdone)
+
+        V, H, cs, sn, g, done, kdone = jax.lax.fori_loop(
+            0, restart, arnoldi, (V0, H, cs, sn, g, done0, jnp.int32(0))
+        )
+        # solve the (masked) triangular system R y = g: inactive columns
+        # get an identity diagonal and zero rhs so their y is 0
+        act = jnp.arange(restart) < kdone
+        R = H[:restart, :]
+        R = jnp.where(act[None, :] & act[:, None], R, 0.0)
+        R = R + jnp.diag(jnp.where(act, 0.0, 1.0).astype(dtype))
+        y = jax.scipy.linalg.solve_triangular(R, jnp.where(act, g[:restart], 0.0))
+        dx = V[:restart].T @ y
+        x = x + Mf(dx)
+        rnorm = jnp.abs(g[kdone])
+        return (x, rnorm, it + kdone)
+
+    def cond(state):
+        x, rnorm, it = state
+        return jnp.logical_and(rnorm > target, it < max_iter)
+
+    x, rnorm, it = jax.lax.while_loop(cond, cycle, (x, r0_norm, jnp.int32(0)))
+    x = x.reshape(shape)
+    return KrylovResult(
+        x=x, iterations=it, residual_norm=_norm(bf - Af(x.ravel())), r0_norm=r0_norm
+    )
+
+
 def cg(
     A: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,

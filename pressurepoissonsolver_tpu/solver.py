@@ -41,7 +41,7 @@ class SolveOptions:
     # dtype of the preconditioner levels; float32 gives mixed precision
     precond_dtype: object = jnp.float64
     dtype: object = jnp.float64
-    krylov: str = "bicgstab"  # "bicgstab" | "cg"
+    krylov: str = "bicgstab"  # "bicgstab" | "cg" | "gmres"
     preconditioner: str = "gmg"  # "gmg" | "schwarz" | "none"
     patch_solver: str = "dft"  # "dft" (spectral) | "bcgs" (iterative)
 
@@ -112,11 +112,11 @@ class PoissonSolver:
         tol = self.opts.tol if tol is None else tol
         max_iter = self.opts.max_iter if max_iter is None else max_iter
         if self._solve_jit is None:
-            from .krylov import cg
+            from .krylov import cg, gmres
 
             A = self.fine_level.apply
             M = self._preconditioner()
-            method = cg if self.opts.krylov == "cg" else bicgstab
+            method = {"cg": cg, "gmres": gmres}.get(self.opts.krylov, bicgstab)
 
             def run(b, tol_, max_iter_):
                 return method(A, b, M=M, tol=tol_, max_iter=max_iter_)
@@ -206,6 +206,10 @@ class PoissonSolver:
         and the probed matrix diagonal in ``SchurMatrixHelper2d.cpp:170-184``),
         i.e. the linear system ``(I - S) gamma = interp(solve(f, 0))`` with
         ``S = interp(solve(0, .))``.  Returns ``(u, KrylovResult)``.
+
+        The Krylov method follows ``opts.krylov``; ``gmres`` here is the
+        BASELINE "matrix-free GMRES on the Schur interface system"
+        configuration.
         """
         tol = self.opts.tol if tol is None else tol
         max_iter = self.opts.max_iter if max_iter is None else max_iter
@@ -231,11 +235,15 @@ class PoissonSolver:
 
                 M = schur_block_jacobi(lvl)
 
+            from .krylov import gmres
+
+            method = gmres if self.opts.krylov == "gmres" else bicgstab
+
             @jax.jit
             def run(f):
                 gamma0 = jnp.zeros((lvl.num_ifaces, lvl.m), dtype=f.dtype)
                 b = lvl.interpolate(lvl.patch_solve(f, gamma0))
-                res = bicgstab(A_schur, b, M=M, tol=tol, max_iter=max_iter)
+                res = method(A_schur, b, M=M, tol=tol, max_iter=max_iter)
                 u = lvl.patch_solve(f, res.x)
                 return u, res
 

@@ -164,3 +164,56 @@ def test_schur_preconditioner_variants():
         assert rep["residual"] < 1e-9, (prec, rep)
         its[prec] = int(res.iterations)
     assert its["blockjacobi"] <= its[None] + 2
+
+
+def test_gmres_krylov_random_system():
+    from pressurepoissonsolver_tpu.krylov import gmres
+
+    rng = np.random.default_rng(3)
+    N = 40
+    Amat = np.eye(N) + 0.1 * rng.standard_normal((N, N))
+    b = rng.standard_normal(N)
+    res = gmres(lambda v: jnp.asarray(Amat) @ v, jnp.asarray(b),
+                tol=1e-12, restart=15, max_iter=200)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(Amat @ x - b) / np.linalg.norm(b) < 1e-10
+    assert int(res.iterations) > 0
+
+
+def test_gmres_with_preconditioner_matches_direct():
+    from pressurepoissonsolver_tpu.krylov import gmres
+
+    rng = np.random.default_rng(4)
+    N = 30
+    Amat = np.diag(np.linspace(1.0, 50.0, N)) + 0.5 * rng.standard_normal((N, N))
+    Minv = np.diag(1.0 / np.diag(Amat))
+    b = rng.standard_normal(N)
+    res = gmres(
+        lambda v: jnp.asarray(Amat) @ v,
+        jnp.asarray(b),
+        M=lambda v: jnp.asarray(Minv) @ v,
+        tol=1e-12,
+        restart=10,
+        max_iter=300,
+    )
+    expected = np.linalg.solve(Amat, b)
+    assert np.allclose(np.asarray(res.x), expected, atol=1e-8)
+
+
+def test_gmres_composite_solve_and_schur():
+    # gmres as the outer Krylov method on the composite operator...
+    tree = refined_tree(2, 2, 1)
+    hierarchy = DomainHierarchy(tree, n=8)
+    opts = SolveOptions(tol=1e-10, krylov="gmres")
+    solver = PoissonSolver(hierarchy, opts)
+    f, exact = init_problem(hierarchy.finest, get_problem("trig", 2))
+    f = jnp.asarray(f)
+    res = solver.solve(f, max_iter=300)
+    rep = solver.report(res.x, f, jnp.asarray(exact))
+    assert rep["residual"] < 1e-9
+    # ...and matrix-free GMRES on the Schur interface system (the BASELINE
+    # "Schur-complement interface system, matrix-free GMRES" config)
+    u_s, res_s = solver.solve_schur(f)
+    rep_s = solver.report(u_s, f, jnp.asarray(exact))
+    assert rep_s["residual"] < 1e-8
+    assert np.allclose(np.asarray(u_s), np.asarray(res.x), atol=1e-7)
