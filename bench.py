@@ -33,7 +33,10 @@ def main():
     from pressurepoissonsolver_tpu.problems import get_problem, init_problem
     from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
 
-    divide = int(os.environ.get("PPS_BENCH_DIVIDE", "1"))
+    # default: divide 3 -> 2.62M DOF, the closest match to the reference
+    # baseline problem size (2,129,920 DOF at divide 2 of its finer base
+    # mesh); smaller sizes are dispatch-latency-bound on TPU
+    divide = int(os.environ.get("PPS_BENCH_DIVIDE", "3"))
     n = int(os.environ.get("PPS_BENCH_N", "16"))
     dtype_name = os.environ.get("PPS_BENCH_DTYPE", "ir")
 

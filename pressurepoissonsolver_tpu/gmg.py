@@ -273,13 +273,18 @@ class GMGCycle:
             if self._coarse_inv is not None:
                 sol = self._coarse_inv.astype(f.dtype) @ f.ravel()
                 return sol.reshape(f.shape)
-            u = lvl.zeros().astype(f.dtype)
-            for _ in range(opts.coarse_sweeps):
+            if opts.coarse_sweeps <= 0:
+                return lvl.zeros().astype(f.dtype)
+            u = lvl.smooth_zero(f)
+            for _ in range(opts.coarse_sweeps - 1):
                 u = lvl.smooth(f, u)
             return u
-        u = lvl.zeros().astype(f.dtype)
-        for _ in range(opts.pre_sweeps):
-            u = lvl.smooth(f, u)
+        if opts.pre_sweeps <= 0:
+            u = lvl.zeros().astype(f.dtype)
+        else:
+            u = lvl.smooth_zero(f)
+            for _ in range(opts.pre_sweeps - 1):
+                u = lvl.smooth(f, u)
         n_recurse = 2 if opts.cycle_type == "W" else 1
         for it in range(n_recurse):
             r = f - lvl.apply(u)

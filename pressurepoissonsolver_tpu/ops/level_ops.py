@@ -406,6 +406,16 @@ class Level:
         """One FFT block-Jacobi sweep (``SchurHelper::solveWithSolution``)."""
         return self.patch_solve(f, self.interpolate(u))
 
+    def smooth_zero(self, f: jnp.ndarray) -> jnp.ndarray:
+        """``smooth(f, 0)``: with a zero iterate the interface traces are
+        identically zero, so the whole interpolate/gather/RHS-fold pipeline
+        drops out — just the batched spectral solve.  Used for the first
+        pre-smooth of every GMG level visit (latency-bound at deep levels)."""
+        if self.patch_solver_kind == "bcgs":
+            zero_g = jnp.zeros((self.num_ifaces, self.m), dtype=f.dtype)
+            return self.patch_solve(f, zero_g)
+        return self._spectral_solve(f)
+
     def solve_with_interface(self, f: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
         """Patch solves with explicit interface values (Schur path)."""
         return self.patch_solve(f, gamma)
