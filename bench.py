@@ -66,12 +66,15 @@ def main():
         if dtype_name == "ir":
             # mixed-precision iterative refinement: f32 Krylov + GMG inner
             # solves, f64 residual updates — reaches 1e-10 with nearly all
-            # work in f32
+            # work in f32; the whole outer loop is one jitted while_loop
             u, info = solver.solve_refined(f, tol=1e-10)
-            return u, info["residual"]
+            return u, {
+                "outer": info["outer_iterations"],
+                "inner": info["inner_iterations"],
+            }
 
         res = solver.solve(f, max_iter=200)
-        return res.x, int(res.iterations)
+        return res.x, {"outer": 1, "inner": int(res.iterations)}
 
     # warm-up (compile)
     t0 = time.time()
@@ -109,8 +112,8 @@ def main():
         "vs_baseline": round(dof_per_s / baseline_dof_per_s, 3),
         "dof": dof,
         "solve_s": round(solve_s, 4),
-        "iterations": iters if isinstance(iters, int) else -1,
-        "final_residual_ir": iters if not isinstance(iters, int) else None,
+        "outer_iterations": iters["outer"],
+        "inner_iterations": iters["inner"],
         "residual": rep["residual"],
         "error": rep["error"],
         "stencil_nnz_per_s": round(nnz_per_s, 1),

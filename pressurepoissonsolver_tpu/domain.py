@@ -63,10 +63,18 @@ class PatchLevel:
     nbr_slot: np.ndarray  # [P, 2D] int64 — slot of NORMAL or COARSE nbr; -1 otherwise
     coarse_orth: np.ndarray  # [P, 2D] int32 — face-orthant on the coarse nbr; -1
     fine_nbr_slots: np.ndarray  # [P, 2D, 2**(D-1)] int64 — slots of FINE nbrs; -1
+    # number of real (non-padding) patches; None = all.  Sharded levels are
+    # padded to a multiple of the mesh size with isolated dummy patches
+    # (parallel/sharding.pad_level) which stay identically zero.
+    num_real: Optional[int] = None
 
     @property
     def num_patches(self) -> int:
         return len(self.ids)
+
+    @property
+    def real_patches(self) -> int:
+        return self.num_real if self.num_real is not None else self.num_patches
 
     @property
     def ns_shape(self):
@@ -106,7 +114,10 @@ class PatchLevel:
         return out
 
     def volume(self) -> float:
-        return float(np.sum(np.prod(self.spacings, axis=1)) * self.cells_per_patch)
+        real = self.real_patches
+        return float(
+            np.sum(np.prod(self.spacings[:real], axis=1)) * self.cells_per_patch
+        )
 
 
 def extract_level(tree: Tree, tree_level: int, n: int, neumann: bool = False) -> PatchLevel:
@@ -206,10 +217,27 @@ class DomainHierarchy:
     """The full finest→coarsest stream of :class:`PatchLevel` objects
     (reference ``DomainGenerator`` contract, ``DomainGenerator.h:437-456``)."""
 
-    def __init__(self, tree: Tree, n: int, neumann: bool = False, use_native: bool = True):
+    def __init__(
+        self,
+        tree: Tree,
+        n: int,
+        neumann: bool = False,
+        use_native: bool = True,
+        num_shards: int = 1,
+        partition: str = "morton",
+    ):
+        """``num_shards > 1`` prepares every level for patch-axis sharding
+        over a device mesh: patch slots are reordered along the Morton curve
+        (``parallel/partition.py`` — the static replacement of the
+        reference's Zoltan hypergraph balancing,
+        ``ThundereggDomGen.h:223-648``; parent/child interlevel affinity
+        holds because a parent's Morton key prefixes its children's) and
+        padded with isolated dummy patches to a multiple of the mesh size.
+        """
         self.tree = tree
         self.n = n
         self.neumann = neumann
+        self.num_shards = num_shards
         self.levels: List[PatchLevel] = []
         #: per-level prebuilt interface tables (filled by the native path)
         self.iface_tables: List[Optional[object]] = []
@@ -224,6 +252,14 @@ class DomainHierarchy:
                 pl, tables = native.build_level_native(tree, lvl, n, neumann)
             else:
                 pl, tables = extract_level(tree, lvl, n, neumann), None
+            if num_shards > 1:
+                from .parallel.partition import morton_order, reorder_level
+                from .parallel.sharding import pad_level
+
+                if partition == "morton":
+                    pl = reorder_level(pl, morton_order(pl))
+                pl = pad_level(pl, num_shards)
+                tables = None  # rebuilt for the new slot order
             pl.prebuilt_iface_tables = tables  # consumed by ops.level_ops.Level
             self.levels.append(pl)
             self.iface_tables.append(tables)

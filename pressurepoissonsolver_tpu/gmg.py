@@ -184,7 +184,7 @@ class Transfer:
         fine_pad = jnp.concatenate(
             [fine_u, jnp.zeros((1,) + fine_u.shape[1:], dtype=fine_u.dtype)], axis=0
         )
-        return assembled + fine_pad[self._pt_slot]
+        return self.coarse._constrain_p(assembled + fine_pad[self._pt_slot])
 
     def _prolong_block(self, coarse_u: jnp.ndarray, o: int, psel) -> jnp.ndarray:
         """The orthant-``o`` prolongation block for parent rows ``psel``."""
@@ -231,7 +231,7 @@ class Transfer:
         stacked = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         zrow = jnp.zeros((1,) + stacked.shape[1:], dtype=stacked.dtype)
         stacked_pad = jnp.concatenate([stacked, zrow], axis=0)
-        return fine_u + stacked_pad[self._prolong_inv]
+        return self.fine._constrain_p(fine_u + stacked_pad[self._prolong_inv])
 
 
 class GMGCycle:
@@ -258,8 +258,11 @@ class GMGCycle:
         lvl = self.levels[-1]
         A = assemble_composite(lvl.pl).toarray()
         # Neumann problems have the constant nullspace -> pseudo-inverse
-        phys = lvl.pl.nbr_type == 0
-        all_neumann = bool(np.asarray(lvl.pl.neumann)[phys].all())
+        # (padded dummy patches are Dirichlet-walled and invertible, so the
+        # nullspace test looks at real patches only)
+        nr = lvl.pl.real_patches
+        phys = lvl.pl.nbr_type[:nr] == 0
+        all_neumann = bool(np.asarray(lvl.pl.neumann)[:nr][phys].all())
         Ainv = np.linalg.pinv(A) if all_neumann else np.linalg.inv(A)
         self._coarse_inv = jnp.asarray(Ainv).astype(lvl.dtype)
 
@@ -304,12 +307,16 @@ def build_gmg(
     opts: Optional[CycleOpts] = None,
     dtype=jnp.float64,
     num_shards: int = 1,
+    mesh=None,
 ) -> GMGCycle:
     """Build the level stack + transfers (reference
     ``GMG::CycleFactory2d/3d::getCycle``, ``GMG/CycleFactory2d.cpp:69-134``):
     stop adding levels when ``max_levels`` is reached or the patch count
-    per shard falls below ``patches_per_shard``."""
+    per shard falls below ``patches_per_shard``.  With ``mesh`` set, every
+    level's ops run patch-sharded over the mesh."""
     opts = opts or CycleOpts()
+    if mesh is not None:
+        num_shards = max(num_shards, int(np.prod(mesh.devices.shape)))
     levels: List[Level] = [Level(hierarchy[0], dtype=dtype)]
     transfers: List[Transfer] = []
     for k in range(1, len(hierarchy)):
@@ -327,4 +334,7 @@ def build_gmg(
         lvl = Level(pl, dtype=dtype)
         transfers.append(Transfer(levels[-1], lvl, prolong_mode=opts.interpolator))
         levels.append(lvl)
+    if mesh is not None:
+        for lvl in levels:
+            lvl.set_mesh(mesh)
     return GMGCycle(levels, transfers, opts)

@@ -166,6 +166,38 @@ class Level:
 
         self._build_solver_groups()
         self._jit_cache = {}
+        # multi-chip: optional device mesh; when set, the core ops pin
+        # their outputs to the patch-axis sharding so XLA partitions the
+        # whole pipeline (gathers become ICI collectives — the TPU-native
+        # replacement of the reference's VecScatters, SURVEY.md §5)
+        self.mesh = None
+        self._psh = None
+        self._gsh = None
+
+    # -- sharding ------------------------------------------------------------
+
+    def set_mesh(self, mesh) -> None:
+        """Shard this level's ops over ``mesh`` (1D, axis ``"p"``): patch
+        arrays on the leading patch axis, interface vectors on the leading
+        interface axis."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self.mesh = mesh
+        if mesh is None:
+            self._psh = self._gsh = None
+            return
+        self._psh = NamedSharding(mesh, PartitionSpec("p"))
+        self._gsh = NamedSharding(mesh, PartitionSpec("p"))
+
+    def _constrain_p(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._psh is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self._psh)
+
+    def _constrain_g(self, g: jnp.ndarray) -> jnp.ndarray:
+        if self._gsh is None or g.shape[0] == 0:
+            return g
+        return jax.lax.with_sharding_constraint(g, self._gsh)
 
     # -- patch-solver grouping ---------------------------------------------
 
@@ -260,7 +292,7 @@ class Level:
         vals_padded = jnp.concatenate(
             [vals, jnp.zeros((1, self.m), dtype=vals.dtype)], axis=0
         )
-        return jnp.sum(vals_padded[self._iface_gather], axis=1)
+        return self._constrain_g(jnp.sum(vals_padded[self._iface_gather], axis=1))
 
     def gamma_faces(self, gamma: jnp.ndarray) -> jnp.ndarray:
         """Per-patch-side interface traces ``[P, 2D, m]`` (zero where no nbr)."""
@@ -309,7 +341,7 @@ class Level:
             )
             h2i = self.h2inv[:, a].reshape((self.P,) + (1,) * D)
             out = out + (lo - 2.0 * u + hi) * h2i
-        return out
+        return self._constrain_p(out)
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         """Composite-grid operator ``A u`` (``SchurHelper.h:360-376``)."""
@@ -400,7 +432,8 @@ class Level:
                 x = self._apply_transform(self._tmats[g.inv_kinds[a]], x, _arr_axis(D, a))
             parts.append(x * scale)
         us = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        return us if self._solver_identity_perm else us[self._solver_inv_perm]
+        us = us if self._solver_identity_perm else us[self._solver_inv_perm]
+        return self._constrain_p(us)
 
     def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         """One FFT block-Jacobi sweep (``SchurHelper::solveWithSolution``)."""

@@ -74,6 +74,7 @@ def pad_level(pl: PatchLevel, multiple: int) -> PatchLevel:
         nbr_slot=cat(pl.nbr_slot, -1, (S,)),
         coarse_orth=cat(pl.coarse_orth, -1, (S,)),
         fine_nbr_slots=cat(pl.fine_nbr_slots, -1, (S, half)),
+        num_real=pl.real_patches,
     )
 
 

@@ -193,4 +193,8 @@ def init_problem(
         else:
             g = np.asarray(problem.gfun(*wall), dtype=np.float64)
             f[sl] -= np.where(mask, 2.0 * g / (h * h), 0.0)
+    if level.num_real is not None:
+        # padded dummy patches (sharded levels) carry zero data
+        f[level.num_real:] = 0.0
+        exact[level.num_real:] = 0.0
     return f, exact

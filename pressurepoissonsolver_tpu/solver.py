@@ -47,11 +47,25 @@ class SolveOptions:
 
 
 class PoissonSolver:
-    """Composite-grid Poisson solver over a domain hierarchy."""
+    """Composite-grid Poisson solver over a domain hierarchy.
 
-    def __init__(self, hierarchy: DomainHierarchy, options: Optional[SolveOptions] = None):
+    Pass ``mesh`` (a 1D ``jax.sharding.Mesh`` with axis ``"p"``; see
+    ``parallel.sharding.make_mesh``) to run every level, transfer, and
+    Krylov iteration patch-sharded over the device mesh — the production
+    multi-chip mode.  The hierarchy must have been built with
+    ``DomainHierarchy(..., num_shards=mesh.size)`` so patch counts divide
+    the mesh and slots follow the Morton partition.
+    """
+
+    def __init__(
+        self,
+        hierarchy: DomainHierarchy,
+        options: Optional[SolveOptions] = None,
+        mesh=None,
+    ):
         self.hierarchy = hierarchy
         self.opts = options or SolveOptions()
+        self.mesh = mesh
         self.fine_level = Level(
             hierarchy.finest,
             dtype=self.opts.dtype,
@@ -62,14 +76,20 @@ class PoissonSolver:
         if self.opts.precondition:
             if self.opts.precond_dtype == self.opts.dtype:
                 # reuse the fine level object for the finest GMG level
-                self.gmg = build_gmg(hierarchy, self.opts.gmg, dtype=self.opts.dtype)
+                self.gmg = build_gmg(
+                    hierarchy, self.opts.gmg, dtype=self.opts.dtype, mesh=mesh
+                )
                 self.gmg.levels[0] = self.fine_level
                 if self.gmg.transfers:
                     self.gmg.transfers[0].fine = self.fine_level
             else:
-                self.gmg = build_gmg(hierarchy, self.opts.gmg, dtype=self.opts.precond_dtype)
+                self.gmg = build_gmg(
+                    hierarchy, self.opts.gmg, dtype=self.opts.precond_dtype, mesh=mesh
+                )
         else:
             self.gmg = None
+        if mesh is not None:
+            self.fine_level.set_mesh(mesh)
         self._solve_jit = None
         self._apply_jit = None
         self._fine_low = None
@@ -77,6 +97,13 @@ class PoissonSolver:
         self._inner_jit_key = None
         self._schur_jit = None
         self._schur_jit_key = None
+
+    def _device_put(self, f: jnp.ndarray) -> jnp.ndarray:
+        """Place a patch array according to the solver's mesh (no-op when
+        single-device)."""
+        if self.mesh is None:
+            return f
+        return jax.device_put(f, self.fine_level._psh)
 
     # -- operators ----------------------------------------------------------
 
@@ -122,7 +149,9 @@ class PoissonSolver:
                 return method(A, b, M=M, tol=tol_, max_iter=max_iter_)
 
             self._solve_jit = jax.jit(run, static_argnums=(2,))
-        return self._solve_jit(jnp.asarray(f, dtype=self.opts.dtype), tol, max_iter)
+        return self._solve_jit(
+            self._device_put(jnp.asarray(f, dtype=self.opts.dtype)), tol, max_iter
+        )
 
     def solve_refined(
         self,
@@ -137,7 +166,14 @@ class PoissonSolver:
 
         Classic IR reaches full f64 accuracy while doing nearly all Krylov
         work in fast low precision — the TPU-native answer to the
-        reference's all-f64 CPU solves.  Returns ``(u, info dict)``.
+        reference's all-f64 CPU solves.  The entire outer loop (residual
+        update, convergence/stagnation/breakdown logic, inner Krylov solve)
+        runs inside one jitted ``lax.while_loop`` — a complete solve is a
+        single device dispatch with no host round-trips.
+
+        Returns ``(u, info dict)`` with honest iteration counts:
+        ``outer_iterations`` (refinement rounds) and ``inner_iterations``
+        (total BiCGStab iterations across all rounds).
         """
         tol = self.opts.tol if tol is None else tol
         pdtype = self.opts.precond_dtype
@@ -146,50 +182,93 @@ class PoissonSolver:
                 self._fine_low = self.gmg.levels[0]
             else:
                 self._fine_low = Level(self.hierarchy.finest, dtype=pdtype)
+                if self.mesh is not None:
+                    self._fine_low.set_mesh(self.mesh)
         low = self._fine_low
-        key = (inner_tol, inner_max_iter)
+        key = (max_outer, inner_max_iter)
         if self._inner_jit_key != key:
             M = (lambda r: self.gmg.apply(r)) if self.gmg is not None else None
+            apply64 = self.fine_level.apply
 
             @jax.jit
-            def inner(r32):
-                return bicgstab(
-                    low.apply, r32, M=M, tol=inner_tol, max_iter=inner_max_iter
-                ).x
+            def run(f, tol_, inner_tol_):
+                fnorm = jnp.linalg.norm(f.ravel())
+                fnorm = jnp.where(fnorm > 0, fnorm, 1.0)
+                u0 = jnp.zeros_like(f)
+                # state: u, r, best_u, best_rel, rel, k, inner_total, stop
+                state = (
+                    u0,
+                    f,
+                    u0,
+                    jnp.asarray(jnp.inf, f.dtype),
+                    jnp.asarray(1.0, f.dtype),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                    jnp.bool_(False),
+                )
 
-            self._inner_jit = inner
+                def cond(st):
+                    return jnp.logical_not(st[7])
+
+                def body(st):
+                    u, r, best_u, best_rel, rel, k, inner_total, _ = st
+                    e_res = bicgstab(
+                        low.apply,
+                        r.astype(pdtype),
+                        M=M,
+                        tol=inner_tol_,
+                        max_iter=inner_max_iter,
+                    )
+                    e = jnp.where(jnp.isfinite(e_res.x), e_res.x, 0.0)
+                    u_new = u + e.astype(f.dtype)
+                    r_new = f - apply64(u_new)
+                    rel_new = jnp.linalg.norm(r_new.ravel()) / fnorm
+                    breakdown = jnp.logical_not(jnp.isfinite(rel_new))
+                    improved = rel_new < best_rel
+                    best_u_new = jnp.where(improved, u_new, best_u)
+                    best_rel_new = jnp.where(improved, rel_new, best_rel)
+                    k = k + 1
+                    stagnated = jnp.logical_and(
+                        k > 3,
+                        jnp.logical_and(rel_new > 0.5 * best_rel, rel_new > 10 * tol_),
+                    )
+                    stop = (
+                        breakdown
+                        | (rel_new <= tol_)
+                        | stagnated
+                        | (k >= max_outer)
+                    )
+                    # on breakdown, fall back to the best iterate so far
+                    u_out = jnp.where(breakdown, best_u, u_new)
+                    rel_out = jnp.where(breakdown, best_rel, rel_new)
+                    return (
+                        u_out,
+                        r_new,
+                        best_u_new,
+                        best_rel_new,
+                        rel_out,
+                        k,
+                        inner_total + e_res.iterations,
+                        stop,
+                    )
+
+                u, r, best_u, best_rel, rel, k, inner_total, _ = jax.lax.while_loop(
+                    cond, body, state
+                )
+                return u, rel, k, inner_total
+
+            self._inner_jit = run
             self._inner_jit_key = key
-        inner = self._inner_jit
 
-        apply64 = self.apply
-        f = jnp.asarray(f, dtype=jnp.float64)
-        u = jnp.zeros_like(f)
-        fnorm = float(jnp.linalg.norm(f.ravel()))
-        info = {"outer_iterations": 0, "residual": 1.0}
-        best_u, best_rel = u, float("inf")
-        for k in range(max_outer):
-            r = f - apply64(u)
-            rel = float(jnp.linalg.norm(r.ravel())) / fnorm
-            if not np.isfinite(rel):
-                # inner f32 solve broke down (rho/omega underflow) — back
-                # off to the best iterate; the caller can fall back to the
-                # full-precision path
-                u = best_u
-                info["residual"] = best_rel
-                info["breakdown"] = True
-                break
-            if rel < best_rel:
-                best_u, best_rel = u, rel
-            info["residual"] = rel
-            info["outer_iterations"] = k
-            if rel <= tol:
-                break
-            if k > 2 and rel > 0.5 * best_rel and rel > 10 * tol:
-                # stagnation: f32 inner solves can't improve further
-                break
-            e = inner(r.astype(pdtype))
-            e = jnp.where(jnp.isfinite(e), e, 0.0)
-            u = u + e.astype(jnp.float64)
+        f = self._device_put(jnp.asarray(f, dtype=self.opts.dtype))
+        u, rel, k, inner_total = self._inner_jit(
+            f, jnp.asarray(tol, f.dtype), jnp.asarray(inner_tol, pdtype)
+        )
+        info = {
+            "outer_iterations": int(k),
+            "inner_iterations": int(inner_total),
+            "residual": float(rel),
+        }
         return u, info
 
     def solve_schur(
@@ -214,7 +293,7 @@ class PoissonSolver:
         tol = self.opts.tol if tol is None else tol
         max_iter = self.opts.max_iter if max_iter is None else max_iter
         lvl = self.fine_level
-        f = jnp.asarray(f, dtype=self.opts.dtype)
+        f = self._device_put(jnp.asarray(f, dtype=self.opts.dtype))
 
         def S(gamma):
             u = lvl.patch_solve(jnp.zeros_like(f), gamma)

@@ -101,6 +101,84 @@ def test_halo_apply_matches_global():
     assert out.sharding.is_equivalent_to(patch_sharding(mesh), out.ndim)
 
 
+def _id_align(sharded_pl, plain_pl):
+    """Map sharded (Morton-ordered, padded) patch slots to plain slots."""
+    nr = sharded_pl.real_patches
+    return np.searchsorted(plain_pl.ids, sharded_pl.ids[:nr]), nr
+
+
+def test_public_sharded_solver_matches_single_device():
+    """The production PoissonSolver in mesh mode == single-device solve."""
+    from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+    from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+    ndev = 8
+    mesh = make_mesh(ndev)
+    t = refined_tree(2, 3, 1)
+
+    h1 = DomainHierarchy(t, n=8)
+    s1 = PoissonSolver(h1, SolveOptions(tol=1e-11))
+    f1, _ = init_problem(h1.finest, get_problem("trig", 2))
+    r1 = s1.solve(jnp.asarray(f1))
+
+    h8 = DomainHierarchy(t, n=8, num_shards=ndev)
+    assert h8.finest.num_patches % ndev == 0
+    s8 = PoissonSolver(h8, SolveOptions(tol=1e-11), mesh=mesh)
+    f8, _ = init_problem(h8.finest, get_problem("trig", 2))
+    r8 = s8.solve(jnp.asarray(f8))
+
+    assert len(r8.x.sharding.device_set) == ndev
+    pos, nr = _id_align(h8.finest, h1.finest)
+    np.testing.assert_allclose(
+        np.asarray(r8.x)[:nr], np.asarray(r1.x)[pos], atol=1e-9
+    )
+    # dummy patches stayed zero
+    assert np.abs(np.asarray(r8.x)[nr:]).max() == 0.0
+
+
+def test_public_sharded_solve_refined():
+    """Mixed-precision IR through the public API on the 8-device mesh."""
+    from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+    from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+    ndev = 8
+    mesh = make_mesh(ndev)
+    t = refined_tree(2, 3, 1)
+    h8 = DomainHierarchy(t, n=8, num_shards=ndev)
+    s8 = PoissonSolver(
+        h8,
+        SolveOptions(tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float32),
+        mesh=mesh,
+    )
+    f8, exact = init_problem(h8.finest, get_problem("trig", 2))
+    u, info = s8.solve_refined(jnp.asarray(f8), tol=1e-10)
+    assert info["residual"] <= 1e-10
+    assert info["inner_iterations"] > 0
+    rep = s8.report(u, jnp.asarray(f8), jnp.asarray(exact))
+    assert rep["residual"] <= 1e-9
+
+
+def test_morton_partition_cuts_fewer_faces():
+    """The wired-in Morton partition induces no more cut faces than the
+    raw id-order block partition (the Zoltan objective, SURVEY §2.2)."""
+    from pressurepoissonsolver_tpu.parallel.partition import (
+        block_partition,
+        cut_faces,
+        morton_order,
+        reorder_level,
+    )
+
+    t = refined_tree(2, 4, 2)
+    h = DomainHierarchy(t, n=4)
+    pl = h.finest
+    ndev = 8
+    shard_raw = block_partition(pl.num_patches, ndev)
+    raw_cuts = cut_faces(pl, shard_raw)
+    plm = reorder_level(pl, morton_order(pl))
+    morton_cuts = cut_faces(plm, block_partition(plm.num_patches, ndev))
+    assert morton_cuts <= raw_cuts
+
+
 def test_halo_apply_3d():
     from pressurepoissonsolver_tpu.parallel.halo import HaloApply
 
