@@ -147,22 +147,41 @@ def assemble_composite(level: PatchLevel) -> sp.csr_matrix:
     return (L + G @ Gamma).tocsr()
 
 
+def _dense_case_templates(tables: IfaceTables) -> np.ndarray:
+    """Each interpolation case's (weights, source) template as a dense
+    ``m×m`` matrix ``T`` with ``out = T @ face`` (same construction as
+    ``ops.level_ops.Level``, kept in float64 here)."""
+    ncase, m, K = tables.case_w.shape
+    T = np.zeros((ncase, m, m))
+    for k in range(ncase):
+        for i in range(m):
+            for kk in range(K):
+                w = tables.case_w[k, i, kk]
+                if w != 0.0:
+                    T[k, i, tables.case_src[k, i, kk]] += w
+    return T
+
+
 def assemble_schur(level) -> sp.csr_matrix:
     """The explicit Schur interface matrix ``A_S = I - S`` by probing.
 
-    TPU-native analog of the reference's probed Schur assembly
-    (``SchurMatrixHelper2d.cpp:130-190``): instead of canonicalizing BC
-    classes and solving one patch per class, probe *all* patches at once —
-    for each (side, face-index) pair, one batched spectral solve gives
-    every patch's response to a unit trace on that side, and the trace
-    interpolation weights distribute the responses into m×m blocks of S
-    attributed to each source interface.
+    TPU-native analog of the reference's probed Schur assembly with
+    orientation canonicalization (``SchurMatrixHelper.cpp:24-205``,
+    ``SchurMatrixHelper2d.cpp:130-190``): a patch's response to a unit
+    interface trace depends only on its (Neumann bits, spacings) class, so
+    interfaces are deduplicated into those classes (the TPU-form of the
+    reference's rotation/flip ``Block`` algebra), *all* ``2D·m`` unit-trace
+    probes of every class run in a single jitted ``lax.map`` of batched
+    spectral solves (no per-probe host round-trips), and the m×m response
+    blocks are placed under the interpolation-case templates on the host.
 
     ``level`` is an ``ops.level_ops.Level``.
     """
+    import jax
     import jax.numpy as jnp
 
-    from .ops.level_ops import extract_faces
+    from .domain import PatchLevel
+    from .ops.level_ops import Level, extract_faces
 
     D, n = level.D, level.n
     t = level.tables
@@ -170,38 +189,81 @@ def assemble_schur(level) -> sp.csr_matrix:
     S2 = 2 * D
     NIf = t.num_ifaces
     P = level.P
+    pl = level.pl
 
-    cw = t.case_w  # [ncase, m, K]
-    cs = t.case_src
-    C = len(t.contrib_patch)
-    zero_f = np.zeros((P,) + level.pl.ns_shape)
+    # -- canonical patch classes ------------------------------------------
+    uniq: dict = {}
+    class_of = np.zeros(P, dtype=np.int64)
+    reps: list = []
+    for p in range(P):
+        key = (
+            tuple(bool(x) for x in pl.neumann[p]),
+            tuple(float(x) for x in pl.spacings[p]),
+        )
+        if key not in uniq:
+            uniq[key] = len(reps)
+            reps.append(p)
+        class_of[p] = uniq[key]
+    U = len(reps)
+    reps = np.asarray(reps)
 
+    # -- one-representative-per-class mini level ---------------------------
+    none_i8 = np.zeros((U, S2), dtype=np.int8)
+    rep_pl = PatchLevel(
+        D=D,
+        n=n,
+        tree_level=pl.tree_level,
+        ids=np.arange(U, dtype=np.int64),
+        starts=pl.starts[reps],
+        spacings=pl.spacings[reps],
+        refine_level=pl.refine_level[reps],
+        parent_id=np.arange(U, dtype=np.int64),
+        orth_on_parent=np.full(U, -1, dtype=np.int32),
+        neumann=pl.neumann[reps],
+        nbr_type=none_i8,
+        nbr_slot=np.full((U, S2), -1, dtype=np.int64),
+        coarse_orth=np.full((U, S2), -1, dtype=np.int32),
+        fine_nbr_slots=np.full((U, S2, 1 << (D - 1)), -1, dtype=np.int64),
+    )
+    lvl_u = Level(rep_pl, dtype=level.dtype)
+
+    # -- all 2D·m probes in one jitted sequential map ----------------------
+    B = S2 * m
+    gf_all = np.zeros((B, U, S2, m))
+    for s in range(S2):
+        for j in range(m):
+            gf_all[s * m + j, :, s, j] = 1.0
+    zeros_u = jnp.zeros((U,) + rep_pl.ns_shape, dtype=level.dtype)
+
+    @jax.jit
+    def probe_all(gf_b):
+        def one(gf):
+            u = lvl_u.patch_solve_faces(zeros_u, gf)
+            return extract_faces(u, D, n)
+
+        return jax.lax.map(one, gf_b)
+
+    R = np.asarray(probe_all(jnp.asarray(gf_all, dtype=level.dtype)))
+    R = R.reshape(S2, m, U, S2, m)  # [src side, probe j, class, out side, m]
+
+    # -- host placement under the case templates ---------------------------
+    T = _dense_case_templates(t)  # [ncase, m, m]
     rows, cols, vals = [], [], []
+    blk_r = np.repeat(np.arange(m), m)
+    blk_c = np.tile(np.arange(m), m)
     for s in range(S2):
         src_iface = t.iface_side_idx[:, s]  # [P]
         src_mask = t.iface_side_mask[:, s]
-        for j in range(m):
-            gf = np.zeros((P, S2, m))
-            gf[:, s, j] = 1.0
-            u = np.asarray(
-                level.patch_solve_faces(jnp.asarray(zero_f, dtype=level.dtype),
-                                        jnp.asarray(gf, dtype=level.dtype))
-            )
-            faces = np.asarray(extract_faces(jnp.asarray(u), D, n))  # [P, 2D, m]
-            # contribution values: vals_c[c, :] = W_case ⊛ faces[p_c, s_c]
-            g = faces[t.contrib_patch, t.contrib_side]  # [C, m]
-            gv = np.take_along_axis(
-                g, cs[t.contrib_case].reshape(C, -1), axis=1
-            ).reshape(C, m, -1)
-            vc = np.sum(cw[t.contrib_case] * gv, axis=-1)  # [C, m]
-            # source column: only patches with a real iface on side s
-            pmask = src_mask[t.contrib_patch]
-            sel = np.where(pmask)[0]
-            for c in sel:
-                p = t.contrib_patch[c]
-                rows.append(t.contrib_iface[c] * m + np.arange(m))
-                cols.append(np.full(m, src_iface[p] * m + j))
-                vals.append(vc[c])
+        sel = np.where(src_mask[t.contrib_patch])[0]
+        for c in sel:
+            p = int(t.contrib_patch[c])
+            sc = int(t.contrib_side[c])
+            k = int(t.contrib_case[c])
+            resp = R[s, :, class_of[p], sc, :]  # [probe j, m]
+            block = T[k] @ resp.T  # [m out, m probe]
+            rows.append(int(t.contrib_iface[c]) * m + blk_r)
+            cols.append(int(src_iface[p]) * m + blk_c)
+            vals.append(block.ravel())
     S_mat = sp.csr_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(NIf * m, NIf * m),

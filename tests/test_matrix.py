@@ -147,3 +147,23 @@ def test_schur_block_jacobi_accelerates():
     prec = bicgstab(A_schur, b, M=M, tol=1e-11, max_iter=2000)
     assert float(prec.residual_norm / prec.r0_norm) < 1e-10
     assert int(prec.iterations) <= int(plain.iterations) + 2
+
+
+def test_assembled_schur_3d_matches_matrix_free():
+    """Canonicalized jitted probing (3D): A_S == matrix-free I - S."""
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import refined_tree
+    from pressurepoissonsolver_tpu.matrix import assemble_schur
+    from pressurepoissonsolver_tpu.ops.level_ops import Level
+
+    t = refined_tree(3, 2, 1)
+    h = DomainHierarchy(t, n=4)
+    lvl = Level(h.finest)
+    A_S = assemble_schur(lvl)
+    rng = np.random.default_rng(7)
+    zero_f = jnp.zeros((lvl.P, 4, 4, 4))
+    g = rng.standard_normal((lvl.num_ifaces, lvl.m))
+    ref = np.asarray(
+        jnp.asarray(g) - lvl.interpolate(lvl.patch_solve(zero_f, jnp.asarray(g)))
+    ).ravel()
+    np.testing.assert_allclose(A_S @ g.ravel(), ref, rtol=1e-10, atol=1e-12)
