@@ -35,13 +35,27 @@ def build_parser(D: int) -> argparse.ArgumentParser:
     p.add_argument("--problem", type=str, default="trig",
                    help="trig|gauss|zero|circle|'trig gauss' (2D) / trig|gauss|zero (3D)")
     p.add_argument("--solver", type=str, default="bicgstab",
-                   choices=["bicgstab", "cg", "gmres"], help="Krylov method")
+                   choices=["bicgstab", "cg", "gmres", "ir"],
+                   help="Krylov method; 'ir' = mixed-precision iterative "
+                   "refinement (f32 inner Krylov + f64 residual updates)")
+    p.add_argument("--inner-solver", type=str, default="cg",
+                   choices=["cg", "bicgstab", "richardson"],
+                   help="inner Krylov method of the ir solver")
     p.add_argument("--prec", type=str, default="GMG",
                    choices=["GMG", "Schwarz", "cheb", "BlockJacobi", "none"],
                    help="preconditioner (cheb/BlockJacobi apply to --schur)")
     p.add_argument("--patch_solver", type=str, default="dft",
                    choices=["dft", "fftw", "bcgs"],
                    help="per-patch solver (fftw is an alias of the spectral dft)")
+    p.add_argument("--matrix-type", dest="matrix_type", type=str, default="wrap",
+                   choices=["wrap", "crs"],
+                   help="operator form: matrix-free ('wrap') or assembled "
+                   "CRS SpMV ('crs'), as in the reference apps")
+    p.add_argument("--shards", type=int, default=0,
+                   help="shard the solve over this many devices "
+                   "(0 = single device)")
+    p.add_argument("--comm", type=str, default="pjit", choices=["pjit", "halo"],
+                   help="multi-chip communication schedule (with --shards)")
     p.add_argument("-t", "--tolerance", type=float, default=1e-12)
     p.add_argument("--max_iterations", type=int, default=1000)
     p.add_argument("--dtype", type=str, default="float64",
@@ -117,6 +131,59 @@ def write_config_file(args, path: str) -> None:
         cp.write(f)
 
 
+def _solve_crs(solver, f, A_mv, args):
+    """Composite solve through the assembled CRS operator
+    (reference ``--matrix_type crs``, ``apps/3d/steady.cpp:364-379``)."""
+    import jax
+
+    from .krylov import bicgstab, cg, gmres
+
+    M = solver._preconditioner()
+    if args.solver == "cg":
+        w = solver._volume_weight(solver.opts.dtype)
+        run = lambda b: cg(A_mv, b, M=M, tol=args.tolerance,
+                           max_iter=args.max_iterations, weight=w)
+    elif args.solver == "gmres":
+        run = lambda b: gmres(A_mv, b, M=M, tol=args.tolerance,
+                              max_iter=args.max_iterations)
+    else:
+        run = lambda b: bicgstab(A_mv, b, M=M, tol=args.tolerance,
+                                 max_iter=args.max_iterations)
+    return jax.jit(run)(f)
+
+
+def _solve_schur_crs(solver, f, S_mv, args, schur_prec):
+    """Schur interface solve through the assembled (probed) Schur matrix
+    (reference ``SchurMatrixHelper``, ``apps/3d/steady.cpp:364-367``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .krylov import bicgstab, gmres
+
+    lvl = solver.fine_level
+    M = None
+    if schur_prec == "cheb":
+        from .precond import poly_cheb
+
+        M = poly_cheb(lvl)
+    elif schur_prec == "blockjacobi":
+        from .matrix import schur_block_jacobi
+
+        M = schur_block_jacobi(lvl)
+    method = gmres if args.solver == "gmres" else bicgstab
+
+    @jax.jit
+    def run(f):
+        gamma0 = jnp.zeros((lvl.num_ifaces, lvl.m), dtype=f.dtype)
+        b = lvl.interpolate(lvl.patch_solve(f, gamma0))
+        res = method(S_mv, b, M=M, tol=args.tolerance,
+                     max_iter=args.max_iterations)
+        u = lvl.patch_solve(f, res.x)
+        return u, res
+
+    return run(f)
+
+
 def main(D: int, argv=None) -> int:
     parser = build_parser(D)
     args = parser.parse_args(argv)
@@ -124,6 +191,18 @@ def main(D: int, argv=None) -> int:
         args = apply_config_file(parser, args, args.config, argv)
     if args.output_config:
         write_config_file(args, args.output_config)
+
+    # invalid combinations error out, as in the reference
+    # (apps/3d/steady.cpp:389-392 throws on unsupported --prec choices)
+    if args.prec in ("cheb", "BlockJacobi") and not args.schur:
+        parser.error(
+            f"--prec {args.prec} preconditions the Schur interface system; "
+            "it requires --schur"
+        )
+    if args.solver == "ir" and args.schur:
+        parser.error("--solver ir applies to the composite solve, not --schur")
+    if args.prec == "Schwarz" and args.schur:
+        parser.error("--prec Schwarz applies to the composite solve, not --schur")
 
     import jax.numpy as jnp
 
@@ -137,6 +216,18 @@ def main(D: int, argv=None) -> int:
 
     timer = Timer(sync_device=True)
 
+    mesh = None
+    if args.shards:
+        import jax
+
+        from .parallel.sharding import make_mesh
+
+        if len(jax.devices()) < args.shards:
+            parser.error(
+                f"--shards {args.shards} but only {len(jax.devices())} devices"
+            )
+        mesh = make_mesh(args.shards)
+
     timer.start("Domain Initialization")
     if args.mesh:
         tree = Tree.from_file(args.mesh, D)
@@ -144,7 +235,9 @@ def main(D: int, argv=None) -> int:
         tree = uniform_tree(D, args.uniform or 3)
     for _ in range(args.divide):
         tree.refine_leaves()
-    hierarchy = DomainHierarchy(tree, n=args.n, neumann=args.neumann)
+    hierarchy = DomainHierarchy(
+        tree, n=args.n, neumann=args.neumann, num_shards=args.shards or 1
+    )
 
     gmg_opts = CycleOpts(
         max_levels=args.gmg_max_levels,
@@ -158,6 +251,8 @@ def main(D: int, argv=None) -> int:
     )
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     pdtype = jnp.float32 if args.dtype in ("float32", "mixed") else jnp.float64
+    if args.solver == "ir":
+        dtype, pdtype = jnp.float64, jnp.float32
     prec_map = {"GMG": "gmg", "Schwarz": "schwarz", "cheb": "none",
                 "BlockJacobi": "none", "none": "none"}
     opts = SolveOptions(
@@ -166,34 +261,82 @@ def main(D: int, argv=None) -> int:
         gmg=gmg_opts,
         precondition=(args.prec == "GMG" and not args.schur),
         preconditioner="none" if args.schur else prec_map[args.prec],
-        krylov=args.solver,
+        krylov="bicgstab" if args.solver == "ir" else args.solver,
+        inner_krylov=args.inner_solver,
         patch_solver="dft" if args.patch_solver == "fftw" else args.patch_solver,
         dtype=dtype,
         precond_dtype=pdtype,
+        comm=args.comm,
     )
-    solver = PoissonSolver(hierarchy, opts)
+    timer.stop("Domain Initialization")
+
+    timer.start("GMG Setup" if args.prec == "GMG" else "Preconditioner Setup")
+    solver = PoissonSolver(hierarchy, opts, mesh=mesh)
+    timer.stop("GMG Setup" if args.prec == "GMG" else "Preconditioner Setup")
+
+    timer.start("Linear System Setup")
     prob = get_problem(args.problem, D)
     f_np, exact_np = init_problem(hierarchy.finest, prob, neumann=args.neumann)
     f = jnp.asarray(f_np, dtype=dtype)
     exact = jnp.asarray(exact_np, dtype=dtype)
-    timer.stop("Domain Initialization")
 
     if args.neumann and not args.nozerof:
         fdiff = float(solver.fine_level.integrate(f) / solver.fine_level.volume)
         print(f"Fdiff: {fdiff}")
         f = f - fdiff
 
+    crs_A = crs_S = None
+    if args.matrix_type == "crs":
+        from .matrix import (
+            assemble_composite,
+            assemble_schur,
+            bcoo_matvec,
+        )
+
+        timer.start("Matrix Formation")
+        if args.schur:
+            crs_S = bcoo_matvec(assemble_schur(solver.fine_level))
+        else:
+            crs_A = bcoo_matvec(assemble_composite(hierarchy.finest))
+        timer.stop("Matrix Formation")
+    timer.stop("Linear System Setup")
+
     rep = {}
+    iter_line = ""
     for _loop in range(args.loop):
         timer.start("Linear Solve")
         if args.schur:
             schur_prec = {"cheb": "cheb", "BlockJacobi": "blockjacobi"}.get(args.prec)
-            u, res = solver.solve_schur(f, preconditioner=schur_prec)
+            if crs_S is not None:
+                u, res = _solve_schur_crs(solver, f, crs_S, args, schur_prec)
+            else:
+                u, res = solver.solve_schur(f, preconditioner=schur_prec)
+            timer.stop("Linear Solve")
+            # recover u from the converged interface values — the section the
+            # reference times as "Patch Solve" (apps/3d/steady.cpp:433-439)
+            timer.start("Patch Solve")
+            u = solver.fine_level.patch_solve(f, res.x)
+            u.block_until_ready()
+            timer.stop("Patch Solve")
+            iter_line = f"Iterations: {int(res.iterations)}"
+        elif args.solver == "ir":
+            u, info = solver.solve_refined(f, tol=args.tolerance)
+            timer.stop("Linear Solve")
+            iter_line = (
+                f"Iterations: {info['outer_iterations']} outer / "
+                f"{info['inner_iterations']} inner"
+            )
+        elif crs_A is not None:
+            res = _solve_crs(solver, f, crs_A, args)
+            u = res.x
+            timer.stop("Linear Solve")
+            iter_line = f"Iterations: {int(res.iterations)}"
         else:
             res = solver.solve(f)
             u = res.x
-        timer.stop("Linear Solve")
-        print(f"Iterations: {int(res.iterations)}")
+            timer.stop("Linear Solve")
+            iter_line = f"Iterations: {int(res.iterations)}"
+        print(iter_line)
         rep = solver.report(u, f, exact, neumann=args.neumann)
 
     print(f"Error: {rep['error']:.13e}")
@@ -227,10 +370,17 @@ def main(D: int, argv=None) -> int:
 
         _np.save(args.out_rhs, _np.asarray(f))
     if args.out_json:
+        if args.solver == "ir":
+            iters = {
+                "outer_iterations": info["outer_iterations"],
+                "inner_iterations": info["inner_iterations"],
+            }
+        else:
+            iters = {"iterations": int(res.iterations)}
         with open(args.out_json, "w") as fh:
             json.dump(
                 {
-                    "iterations": int(res.iterations),
+                    **iters,
                     **rep,
                     "dof": hierarchy.finest.num_cells,
                     "linear_solve_s": timer["Linear Solve"],

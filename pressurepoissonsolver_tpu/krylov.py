@@ -146,6 +146,44 @@ def bicgstab(
     return KrylovResult(x=x, iterations=k, residual_norm=_norm(r), r0_norm=r0_norm)
 
 
+def richardson(
+    A: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    M: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol: float = 1e-12,
+    max_iter: int = 100,
+) -> KrylovResult:
+    """Preconditioned Richardson iteration ``x += M(b - A x)``.
+
+    With a multigrid preconditioner this is plain MG iteration.  Each step
+    costs one preconditioner apply + one operator apply — half of a
+    BiCGStab iteration — so whenever the V-cycle contraction factor
+    ``rho`` beats BiCGStab's per-preconditioned-matvec reduction
+    (measured: rho ~ 0.2-0.33 for V(1,1)/V(2,1) vs ~0.3 effective for
+    GMG-BiCGStab) it reaches tolerance with less total work.
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x) if x0 is not None else b
+    r0_norm = _norm(r)
+
+    def prec(v):
+        return v if M is None else M(v)
+
+    def cond(state):
+        x, r, k = state
+        return jnp.logical_and(_norm(r) / r0_norm > tol, k < max_iter)
+
+    def body(state):
+        x, r, k = state
+        x = x + prec(r)
+        r = b - A(x)
+        return (x, r, k + 1)
+
+    x, r, k = jax.lax.while_loop(cond, body, (x, r, jnp.int32(0)))
+    return KrylovResult(x=x, iterations=k, residual_norm=_norm(r), r0_norm=r0_norm)
+
+
 def gmres(
     A: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
@@ -275,29 +313,54 @@ def cg(
     M: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     tol: float = 1e-12,
     max_iter: int = 1000,
+    weight: Optional[jnp.ndarray] = None,
 ) -> KrylovResult:
-    """Preconditioned conjugate gradient (for SPD systems)."""
+    """Preconditioned conjugate gradient.
+
+    ``weight`` selects the inner product ``<x, y>_D = sum(weight * x * y)``.
+    The composite FAC operator is *exactly* self-adjoint (and definite) in
+    the cell-volume inner product — ``D A`` with ``D = diag(cell volumes)``
+    is symmetric even on adaptive meshes with coarse/fine interface
+    closures, and the V(1,1) GMG cycle with cell-average restriction /
+    constant prolongation is D-self-adjoint too (both verified
+    numerically).  Passing ``weight = per-cell volume`` therefore turns the
+    composite solve into a true PCG — one operator and one preconditioner
+    apply per iteration, against BiCGStab's two of each.
+    """
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x)
-    r0_norm = _norm(r)
+    if weight is None:
+        wdot = _dot
+    else:
+        w = weight.astype(b.dtype)
+
+        def wdot(a, c):
+            return jnp.vdot(a * w, c)
+
+    r0 = wdot(r, r).real
     z = r if M is None else M(r)
     p = z
-    rz = _dot(r, z)
+    rz = wdot(r, z)
 
     def cond(state):
         x, r, p, rz, k = state
-        return jnp.logical_and(_norm(r) / r0_norm > tol, k < max_iter)
+        return jnp.logical_and(wdot(r, r).real / r0 > tol * tol, k < max_iter)
 
     def body(state):
         x, r, p, rz, k = state
         ap = A(p)
-        alpha = rz / _dot(p, ap)
+        alpha = rz / wdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
         z = r if M is None else M(r)
-        rz_new = _dot(r, z)
+        rz_new = wdot(r, z)
         p = z + (rz_new / rz) * p
         return (x, r, p, rz_new, k + 1)
 
     x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0)))
-    return KrylovResult(x=x, iterations=k, residual_norm=_norm(r), r0_norm=r0_norm)
+    return KrylovResult(
+        x=x,
+        iterations=k,
+        residual_norm=jnp.sqrt(wdot(r, r).real),
+        r0_norm=jnp.sqrt(r0),
+    )

@@ -1,132 +1,698 @@
-"""Explicit halo-exchange operator over a patch-sharded mesh (shard_map).
+"""Cut-face halo exchange: explicitly scheduled sharded level ops.
 
-The pjit path (`parallel/sharding.py`) lets XLA partition the global
-gathers; this module is the hand-scheduled alternative the reference's
-VecScatter pipeline maps to on TPU (SURVEY.md §5 "Distributed
-communication backend"):
+The pjit path (``ops/level_ops.Level`` + ``with_sharding_constraint``) lets
+XLA partition the global gathers; this module is the hand-scheduled
+communication-optimal alternative — the TPU-native equivalent of the
+reference's recurring data motion (PETSc ``VecScatter``s for the interface
+vector, ``SchurHelper.h:130-150``, and the GMG interlevel scatters,
+``GMG/InterLevelComm.h:150-189``):
 
-1. each shard extracts the face traces of its local patches
-   (surface data only — 2D: 25%, 3D: ~37% of the volume data);
-2. faces are exchanged across the mesh (`all_gather` over ICI — the
-   patch graph's cross-shard coupling is face-only, so this bounds the
-   communication volume at the faces, not the cells; a point-to-point
-   `ppermute` ring over only the cut faces is the planned refinement);
-3. the interface traces and the ghost-closure stencil are evaluated
-   purely locally.
+* Every patch reads only *its own* side interfaces; the cross-shard
+  coupling is that a remote patch's **face trace** contributes to a local
+  interface.  So the only data that moves is the set of cut faces —
+  face rows of patches whose interface readers live on another shard.
+* At setup, the cut faces are grouped by **shard offset** ``d``: shard
+  ``q`` sends the same-shaped batch of face rows to shard ``(q+d) % n``
+  for every ``d`` that occurs (with a Morton block partition nearly all
+  traffic is ``d = ±1``).  Each offset is one ``jax.lax.ppermute`` over
+  the ICI ring — point-to-point, no all-gather.
+* Each shard then computes its needed interface values *locally* (both
+  owners of a cut interface recompute it — recompute-over-communicate:
+  one hop instead of the reference's scatter-add + scatter-back) and runs
+  the ghost-closure stencil / patch-solve entirely on-shard.
+* Contribution order per interface matches the single-device pipeline,
+  so results are bit-identical modulo XLA scheduling.
 
-`HaloApply` is numerically identical to `Level.apply` (tests compare on
-an 8-device virtual mesh).
+``ShardedLevel`` implements ``apply`` / ``smooth`` / ``smooth_zero``;
+``ShardedTransfer`` implements the GMG ``restrict`` / ``prolong_add`` with
+the same per-offset exchange for cross-shard parent/child pairs.
+Communication volume is asserted against ``partition.cut_faces`` in the
+tests.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.level_ops import Level, extract_faces
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                          check_vma=False)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
+
+from ..ops.level_ops import Level, _arr_axis, extract_faces
+from ..ops import transforms as tr
 
 
-class HaloApply:
-    """Sharded composite-operator apply with explicit face exchange."""
+class Exchange:
+    """Per-offset ``ppermute`` exchange of entity rows over the mesh axis.
+
+    ``sends[(q, r)]`` is an ordered list of *sender-local* row ids that
+    shard ``q`` must deliver to shard ``r``.  Rows land on the receiver in
+    a deterministic buffer layout: ``[local rows | offset d0 rows |
+    offset d1 rows | ... | zero pad row]``; ``recv_index(r, q, row)``
+    returns the receiver-buffer position of a sent row.
+    """
+
+    def __init__(self, ndev: int, n_local_rows: int,
+                 sends: Dict[Tuple[int, int], List[int]]):
+        self.ndev = ndev
+        self.n_local = n_local_rows
+        offsets = sorted({(r - q) % ndev for (q, r) in sends if sends[(q, r)]})
+        self.offsets = offsets
+        self.send_tbl: List[np.ndarray] = []  # per offset: [ndev, Rd]
+        self.widths: List[int] = []
+        self._pos: Dict[Tuple[int, int, int], int] = {}
+        base = n_local_rows
+        self.comm_rows = 0  # true (unpadded) cut-entity rows
+        for d in offsets:
+            Rd = max(len(sends.get((q, (q + d) % ndev), [])) for q in range(ndev))
+            tbl = np.full((ndev, Rd), n_local_rows, dtype=np.int32)  # pad->zero row
+            for q in range(ndev):
+                rows = sends.get((q, (q + d) % ndev), [])
+                self.comm_rows += len(rows)
+                tbl[q, : len(rows)] = rows
+                for k, row in enumerate(rows):
+                    self._pos[((q + d) % ndev, q, row)] = base + k
+            self.send_tbl.append(tbl)
+            self.widths.append(Rd)
+            base += Rd
+        self.buf_rows = base  # before the final zero row
+        self._send_tbl_j = [jnp.asarray(t) for t in self.send_tbl]
+
+    def recv_index(self, r: int, q: int, row: int) -> int:
+        """Receiver-buffer position of sender ``q``'s local ``row`` on ``r``."""
+        return self._pos[(r, q, row)]
+
+    def run(self, local: jnp.ndarray, me) -> jnp.ndarray:
+        """Inside shard_map: exchange and return the combined buffer
+        ``[local | recv_d0 | ... | zero row]`` (shape ``[buf_rows+1, ...]``)."""
+        zero = jnp.zeros((1,) + local.shape[1:], dtype=local.dtype)
+        local_pad = jnp.concatenate([local, zero], axis=0)
+        parts = [local]
+        for d, tbl in zip(self.offsets, self._send_tbl_j):
+            rows = local_pad[tbl[me]]  # [Rd, ...] this shard's batch to send
+            perm = [(q, (q + d) % self.ndev) for q in range(self.ndev)]
+            parts.append(jax.lax.ppermute(rows, "p", perm))
+        parts.append(zero)
+        return jnp.concatenate(parts, axis=0)
+
+
+def _shard_of(P: int, ndev: int) -> np.ndarray:
+    assert P % ndev == 0, f"pad the level first: P={P} % {ndev} != 0"
+    return np.arange(P) // (P // ndev)
+
+
+class ShardedLevel:
+    """Level ops over a 1D mesh with explicit cut-face halo exchange.
+
+    Drop-in for :class:`~pressurepoissonsolver_tpu.ops.level_ops.Level`
+    inside GMG cycles and Krylov loops: exposes ``apply``, ``smooth``,
+    ``smooth_zero``, ``patch_solve_gamma0``, ``zeros`` on *global*
+    ``[P, *ns]`` arrays (sharded on the patch axis).
+    """
 
     def __init__(self, level: Level, mesh: Mesh):
-        self.level = level
+        self.base = level
         self.mesh = mesh
-        self.ndev = mesh.devices.size
-        if level.P % self.ndev != 0:
-            raise ValueError(
-                f"pad the level first: P={level.P} not divisible by {self.ndev}"
-            )
-        self.p_local = level.P // self.ndev
+        self.ndev = int(np.prod(mesh.devices.shape))
+        ndev = self.ndev
+        lvl, t = level, level.tables
+        D, n, m, S2 = lvl.D, lvl.n, lvl.m, 2 * lvl.D
+        Pg = lvl.P
+        self.D, self.n, self.m, self.P = D, n, m, Pg
+        self.dtype = lvl.dtype
+        self.pl = lvl.pl
+        self.Pl = Pg // ndev
+        Pl = self.Pl
+        shard_of = _shard_of(Pg, ndev)
+        self._psh = NamedSharding(mesh, P("p"))
 
-    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
-        lvl = self.level
-        D, n, m = lvl.D, lvl.n, lvl.m
-        mesh = self.mesh
+        # ---- contribution bookkeeping (case-sorted, as in Level) ----------
+        order = np.argsort(t.contrib_case, kind="stable")
+        c_patch = t.contrib_patch[order]
+        c_side = t.contrib_side[order]
+        c_iface = t.contrib_iface[order]
+        c_case = t.contrib_case[order]
+        C = len(c_patch)
+        ncase = t.case_w.shape[0]
 
-        from jax.experimental.shard_map import shard_map
+        # readers of each interface = shards of patches whose own-side
+        # interface it is (every patch reads only its own side interfaces)
+        readers: Dict[int, set] = {}
+        for p in range(Pg):
+            for s in range(S2):
+                if t.iface_side_mask[p, s]:
+                    readers.setdefault(int(t.iface_side_idx[p, s]), set()).add(
+                        int(shard_of[p])
+                    )
 
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=P("p"),
-            out_specs=P("p"),
-            check_rep=False,
-        )
-        def apply_sharded(u_loc):
-            # 1. local face extraction (surface-only data)
-            faces_loc = extract_faces(u_loc, D, n)  # [Pl, 2D, m]
-            # 2. exchange: all shards see all faces (face-volume bounded)
-            faces = jax.lax.all_gather(faces_loc, "p", axis=0, tiled=True)
-            # 3. local trace interpolation for the interfaces this shard's
-            #    patches read, then the local stencil
-            gamma = self._interpolate_from_faces(faces)
-            my = jax.lax.axis_index("p")
-            start = my * self.p_local
-            gf = self._gamma_faces_local(gamma, start)
-            return self._stencil_local(u_loc, gf, start)
+        # cut faces: remote contributions' (patch, side) face rows, dedup per
+        # (sender, receiver, face row)
+        sends: Dict[Tuple[int, int], List[int]] = {}
+        sent: set = set()
+        for c in range(C):
+            p, s = int(c_patch[c]), int(c_side[c])
+            q = int(shard_of[p])
+            local_row = (p - q * Pl) * S2 + s
+            for r in readers.get(int(c_iface[c]), ()):  # shards needing it
+                if r == q:
+                    continue
+                key = (q, r, local_row)
+                if key in sent:
+                    continue
+                sent.add(key)
+                sends.setdefault((q, r), []).append(local_row)
+        for v in sends.values():
+            v.sort()
+        self.exchange = Exchange(ndev, Pl * S2, sends)
+        self.comm_rows = self.exchange.comm_rows
 
-        return apply_sharded(u)
+        # ---- per-shard needed interfaces and contribution tables ----------
+        need: List[List[int]] = [[] for _ in range(ndev)]
+        for i, rs in sorted(readers.items()):
+            for r in rs:
+                need[r].append(i)
+        loc_of = [
+            {i: k for k, i in enumerate(lst)} for lst in need
+        ]
+        NIg = max((len(lst) for lst in need), default=0)
+        self.NIg = NIg
 
-    # -- pieces reusing the level's tables, windowed to the local shard ----
+        # per shard, per case: contribution entries (src buffer row, iface)
+        percase: List[List[List[Tuple[int, int]]]] = [
+            [[] for _ in range(ncase)] for _ in range(ndev)
+        ]
+        for c in range(C):
+            p, s = int(c_patch[c]), int(c_side[c])
+            q = int(shard_of[p])
+            i = int(c_iface[c])
+            k = int(c_case[c])
+            local_row = (p - q * Pl) * S2 + s
+            for r in readers.get(i, ()):  # compute on every reader shard
+                src = (
+                    local_row
+                    if r == q
+                    else self.exchange.recv_index(r, q, local_row)
+                )
+                percase[r][k].append((src, loc_of[r][i]))
+        Ck = [
+            max(len(percase[r][k]) for r in range(ndev)) for k in range(ncase)
+        ]
+        Ctot = sum(Ck)
+        buf_pad = self.exchange.buf_rows  # index of the zero row
+        csrc = np.full((ndev, max(Ctot, 1)), buf_pad, dtype=np.int32)
+        cif = np.full((ndev, max(Ctot, 1)), NIg, dtype=np.int32)  # NIg = trash
+        segs = []
+        pos = 0
+        for k in range(ncase):
+            segs.append((k, pos, pos + Ck[k]))
+            for r in range(ndev):
+                for j, (src, li) in enumerate(percase[r][k]):
+                    csrc[r, pos + j] = src
+                    cif[r, pos + j] = li
+            pos += Ck[k]
+        self._segs = [(k, a, b) for (k, a, b) in segs if b > a]
+        self._csrc = jnp.asarray(csrc)
 
-    def _interpolate_from_faces(self, faces):
-        lvl = self.level
-        g = faces[lvl._c_patch_sorted, lvl._c_side_sorted]
+        # per-iface gather of contribution positions (same order as Level)
+        Kif = 1
+        by_iface = [
+            [[] for _ in range(NIg)] for _ in range(ndev)
+        ]
+        for r in range(ndev):
+            pos = 0
+            for k in range(ncase):
+                for j in range(Ck[k]):
+                    li = cif[r, pos + j]
+                    if li < NIg:
+                        by_iface[r][li].append(pos + j)
+                pos += Ck[k]
+            for lst in by_iface[r]:
+                Kif = max(Kif, len(lst))
+        gath = np.full((ndev, max(NIg, 1), Kif), max(Ctot, 1), dtype=np.int32)
+        for r in range(ndev):
+            for li, lst in enumerate(by_iface[r]):
+                gath[r, li, : len(lst)] = lst
+        self._gath = jnp.asarray(gath)
+
+        # per-patch-side local interface slots (+ mask)
+        ifidx = np.full((ndev, Pl, S2), max(NIg, 1), dtype=np.int32)
+        imask = np.zeros((ndev, Pl, S2), dtype=bool)
+        for p in range(Pg):
+            r = int(shard_of[p])
+            for s in range(S2):
+                if t.iface_side_mask[p, s]:
+                    ifidx[r, p - r * Pl, s] = loc_of[r][int(t.iface_side_idx[p, s])]
+                    imask[r, p - r * Pl, s] = True
+        self._ifidx = jnp.asarray(ifidx)
+        self._imask = jnp.asarray(imask)
+
+        # ---- local spectral-solve data ------------------------------------
+        pl = lvl.pl
+        inv_perm = np.asarray(lvl._solver_inv_perm)
+        self._denom = jnp.asarray(
+            np.asarray(lvl._denom_sorted)[inv_perm]
+        )  # slot order, [P, *ns]
+        self._single_group = len(lvl._solve_groups) == 1
+        if self._single_group:
+            g = lvl._solve_groups[0]
+            self._fwd = [lvl._tmats[k] for k in g.fwd_kinds]
+            self._inv = [lvl._tmats[k] for k in g.inv_kinds]
+            self._pin = g.pin_dc
+        else:
+            kinds = sorted(lvl._tmats.keys())
+            kpos = {k: i for i, k in enumerate(kinds)}
+            self._tstack = jnp.stack([lvl._tmats[k] for k in kinds])  # [nk,n,n]
+            tidx = np.zeros((Pg, D, 2), dtype=np.int32)
+            pin = np.zeros(Pg, dtype=bool)
+            for p in range(Pg):
+                for a in range(D):
+                    f, i, _ = tr.axis_transforms(
+                        bool(pl.neumann[p, 2 * a]), bool(pl.neumann[p, 2 * a + 1])
+                    )
+                    tidx[p, a] = (kpos[f], kpos[i])
+                pin[p] = bool(np.all(pl.neumann[p]))
+            self._tidx = jnp.asarray(tidx)
+            self._pinmask = jnp.asarray(pin)
+
+        self._jit = {}
+
+    # -- inside-shard pieces -------------------------------------------------
+
+    def _gamma_faces_local(self, u_loc, me):
+        """Exchange cut faces and compute this shard's gf [Pl, 2D, m]."""
+        lvl = self.base
+        D, n, m = self.D, self.n, self.m
+        faces = extract_faces(u_loc, D, n).reshape(-1, m)  # [Pl*2D, m]
+        buf = self.exchange.run(faces, me)  # [buf_rows+1, m]
+        g = buf[self._csrc[me]]  # [Ctot, m]
         parts = []
-        for case, start, stop in lvl._contrib_groups:
-            rows = jax.lax.slice_in_dim(g, start, stop, axis=0)
-            w = lvl._case_scalar[case]
+        for k, a, b in self._segs:
+            rows = jax.lax.slice_in_dim(g, a, b, axis=0)
+            w = lvl._case_scalar[k]
             if w is not None:
-                parts.append(rows * jnp.asarray(w, dtype=faces.dtype))
+                parts.append(rows * jnp.asarray(w, dtype=u_loc.dtype))
             else:
                 parts.append(
-                    jnp.matmul(rows, lvl._case_T[case].T.astype(faces.dtype),
+                    jnp.matmul(rows, lvl._case_T[k].T.astype(u_loc.dtype),
                                precision=jax.lax.Precision.HIGHEST)
                 )
-        vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        vals_padded = jnp.concatenate(
-            [vals, jnp.zeros((1, lvl.m), dtype=vals.dtype)], axis=0
+        if parts:
+            vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        else:
+            vals = jnp.zeros((1, m), dtype=u_loc.dtype)
+        vals_pad = jnp.concatenate(
+            [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
         )
-        return jnp.sum(vals_padded[lvl._iface_gather], axis=1)
+        gamma = jnp.sum(vals_pad[self._gath[me]], axis=1)  # [NIg(,1), m]
+        gamma_pad = jnp.concatenate(
+            [gamma, jnp.zeros((1, m), dtype=gamma.dtype)], axis=0
+        )
+        gf = gamma_pad[self._ifidx[me]]  # [Pl, 2D, m]
+        return gf * self._imask[me][..., None].astype(gf.dtype)
 
-    def _gamma_faces_local(self, gamma, start):
-        lvl = self.level
-        idx = jax.lax.dynamic_slice_in_dim(lvl.iface_idx, start, self.p_local, 0)
-        mask = jax.lax.dynamic_slice_in_dim(lvl.iface_mask, start, self.p_local, 0)
-        return gamma[idx] * mask[..., None]
-
-    def _stencil_local(self, u_loc, gf, start):
-        lvl = self.level
-        D, n = lvl.D, lvl.n
-        Pl = self.p_local
-        h2inv = jax.lax.dynamic_slice_in_dim(lvl.h2inv, start, Pl, 0)
-        coef = jax.lax.dynamic_slice_in_dim(lvl.ghost_coef, start, Pl, 0)
+    def _stencil_local(self, u_loc, gf, h2inv, coef):
+        D, n = self.D, self.n
+        Pl = u_loc.shape[0]
         out = jnp.zeros_like(u_loc)
+        fs = (Pl,) + (n,) * (D - 1)
         for a in range(D):
-            ax = 1 + (D - 1 - a)
+            ax = _arr_axis(D, a)
             u_lo = jnp.take(u_loc, 0, axis=ax)
             u_hi = jnp.take(u_loc, n - 1, axis=ax)
             c_lo = coef[:, 2 * a].reshape((Pl,) + (1,) * (D - 1))
             c_hi = coef[:, 2 * a + 1].reshape((Pl,) + (1,) * (D - 1))
-            fs = (Pl,) + (n,) * (D - 1)
             ghost_lo = c_lo * u_lo + 2.0 * gf[:, 2 * a].reshape(fs)
             ghost_hi = c_hi * u_hi + 2.0 * gf[:, 2 * a + 1].reshape(fs)
             lo = jnp.concatenate(
                 [jnp.expand_dims(ghost_lo, ax),
-                 jax.lax.slice_in_dim(u_loc, 0, n - 1, axis=ax)],
-                axis=ax,
-            )
+                 jax.lax.slice_in_dim(u_loc, 0, n - 1, axis=ax)], axis=ax)
             hi = jnp.concatenate(
                 [jax.lax.slice_in_dim(u_loc, 1, n, axis=ax),
-                 jnp.expand_dims(ghost_hi, ax)],
-                axis=ax,
-            )
+                 jnp.expand_dims(ghost_hi, ax)], axis=ax)
             h2i = h2inv[:, a].reshape((Pl,) + (1,) * D)
             out = out + (lo - 2.0 * u_loc + hi) * h2i
         return out
+
+    def _fold_local(self, fc, gf, h2inv):
+        D, n = self.D, self.n
+        Pl = fc.shape[0]
+        fs = (Pl,) + (n,) * (D - 1)
+        for a in range(D):
+            ax = _arr_axis(D, a)
+            h2i = h2inv[:, a].reshape(fs[:1] + (1,) * (D - 1))
+            idx_lo = tuple([slice(None)] * ax + [0])
+            idx_hi = tuple([slice(None)] * ax + [n - 1])
+            fc = fc.at[idx_lo].add(-2.0 * h2i * gf[:, 2 * a].reshape(fs))
+            fc = fc.at[idx_hi].add(-2.0 * h2i * gf[:, 2 * a + 1].reshape(fs))
+        return fc
+
+    def _solve_local(self, fc, denom, tidx=None, pinmask=None):
+        """Local batched spectral solve in patch-slot order."""
+        D, n = self.D, self.n
+        x = fc
+        scale = (2.0 / n) ** D
+        if self._single_group:
+            for a in range(D):
+                x = Level._apply_transform(
+                    self._fwd[a].astype(x.dtype), x, _arr_axis(D, a)
+                )
+            x = x / denom
+            if self._pin:
+                zero_idx = (slice(None),) + (0,) * D
+                x = x.at[zero_idx].set(0.0)
+            for a in range(D):
+                x = Level._apply_transform(
+                    self._inv[a].astype(x.dtype), x, _arr_axis(D, a)
+                )
+            return x * scale
+        # general path: per-patch gathered transform matrices
+        ts = self._tstack.astype(x.dtype)
+        for a in range(D):
+            T = ts[tidx[:, a, 0]]  # [Pl, n, n]
+            x = self._bmm(T, x, _arr_axis(D, a))
+        x = x / denom
+        zero_idx = (slice(None),) + (0,) * D
+        x = x.at[zero_idx].set(
+            jnp.where(pinmask, 0.0, x[zero_idx])
+        )
+        for a in range(D):
+            T = ts[tidx[:, a, 1]]
+            x = self._bmm(T, x, _arr_axis(D, a))
+        return x * scale
+
+    @staticmethod
+    def _bmm(T, x, ax):
+        """Per-patch transform along array axis ``ax``: x @ T[p].T."""
+        n = T.shape[-1]
+        moved = jnp.moveaxis(x, ax, -1)
+        shape = moved.shape
+        flat = moved.reshape(shape[0], -1, n)  # [Pl, q, n]
+        y = jnp.einsum("pqn,pmn->pqm", flat, T)
+        return jnp.moveaxis(y.reshape(shape), -1, ax)
+
+    # -- public ops on global arrays -----------------------------------------
+
+    def _smap(self, name, fn, nargs):
+        key = name
+        if key not in self._jit:
+            specs = (P("p"),) * nargs
+            self._jit[key] = jax.jit(
+                shard_map(fn, self.mesh, in_specs=specs, out_specs=P("p"))
+            )
+        return self._jit[key]
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Composite operator with explicit cut-face exchange."""
+        def f(u_loc, h2inv, coef):
+            me = jax.lax.axis_index("p")
+            gf = self._gamma_faces_local(u_loc, me)
+            return self._stencil_local(u_loc, gf, h2inv, coef)
+
+        return self._smap("apply", f, 3)(
+            u, self.base.h2inv.astype(u.dtype), self.base.ghost_coef.astype(u.dtype)
+        )
+
+    def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """One block-Jacobi sweep with explicit cut-face exchange."""
+        if self._single_group:
+            def g(f_loc, u_loc, h2inv, denom):
+                me = jax.lax.axis_index("p")
+                gf = self._gamma_faces_local(u_loc, me)
+                fc = self._fold_local(f_loc, gf, h2inv)
+                return self._solve_local(fc, denom)
+
+            return self._smap("smooth", g, 4)(
+                f, u, self.base.h2inv.astype(f.dtype), self._denom.astype(f.dtype)
+            )
+
+        def g(f_loc, u_loc, h2inv, denom, tidx, pinmask):
+            me = jax.lax.axis_index("p")
+            gf = self._gamma_faces_local(u_loc, me)
+            fc = self._fold_local(f_loc, gf, h2inv)
+            return self._solve_local(fc, denom, tidx, pinmask)
+
+        return self._smap("smooth_mg", g, 6)(
+            f, u, self.base.h2inv.astype(f.dtype), self._denom.astype(f.dtype),
+            self._tidx, self._pinmask,
+        )
+
+    def smooth_zero(self, f: jnp.ndarray) -> jnp.ndarray:
+        """``smooth(f, 0)`` — no interface traces, pure local solves."""
+        if self._single_group:
+            def g(f_loc, denom):
+                return self._solve_local(f_loc, denom)
+
+            return self._smap("smooth0", g, 2)(f, self._denom.astype(f.dtype))
+
+        def g(f_loc, denom, tidx, pinmask):
+            return self._solve_local(f_loc, denom, tidx, pinmask)
+
+        return self._smap("smooth0_mg", g, 4)(
+            f, self._denom.astype(f.dtype), self._tidx, self._pinmask
+        )
+
+    def zeros(self) -> jnp.ndarray:
+        z = jnp.zeros((self.P,) + self.pl.ns_shape, dtype=self.dtype)
+        return jax.device_put(z, self._psh)
+
+    def integrate(self, u):
+        return self.base.integrate(u)
+
+    @property
+    def volume(self):
+        return self.base.volume
+
+    @property
+    def num_ifaces(self):
+        return self.base.num_ifaces
+
+
+class ShardedTransfer:
+    """GMG restriction/prolongation with per-offset parent/child exchange.
+
+    Mirrors :class:`~pressurepoissonsolver_tpu.gmg.Transfer` (cell-average
+    restriction / constant or linear prolongation with pass-through
+    copies); cross-shard parent-child pairs move pooled child blocks
+    (restriction) or full parent patches (prolongation) point-to-point.
+    """
+
+    def __init__(self, transfer, fine: ShardedLevel, coarse: ShardedLevel):
+        from ..domain import parent_slots
+
+        self.t = transfer
+        self.fine = fine
+        self.coarse = coarse
+        self.mesh = fine.mesh
+        ndev = fine.ndev
+        D, n = fine.D, fine.n
+        self.D, self.n = D, n
+        Pf, Pc = fine.P, coarse.P
+        Pfl, Pcl = fine.Pl, coarse.Pl
+        fshard = _shard_of(Pf, ndev)
+        cshard = _shard_of(Pc, ndev)
+        pslots = parent_slots(transfer.fine.pl, transfer.coarse.pl)
+        passthrough = transfer.fine.pl.orth_on_parent < 0
+        orth = transfer.fine.pl.orth_on_parent
+        self.prolong_mode = transfer.prolong_mode
+
+        # ---- restriction: children/pass-through -> parent shard -----------
+        sends_pool: Dict[Tuple[int, int], List[int]] = {}
+        sends_full: Dict[Tuple[int, int], List[int]] = {}
+        child_info = []  # (fine slot, parent slot, orth, passthrough)
+        for i in range(Pf):
+            ps = pslots[i]
+            if ps < 0:
+                continue
+            q, r = int(fshard[i]), int(cshard[ps])
+            if q != r:
+                tgt = sends_full if passthrough[i] else sends_pool
+                lst = tgt.setdefault((q, r), [])
+                if (i - q * Pfl) not in lst:
+                    lst.append(i - q * Pfl)
+            child_info.append((i, int(ps), int(orth[i]), bool(passthrough[i])))
+        for v in sends_pool.values():
+            v.sort()
+        for v in sends_full.values():
+            v.sort()
+        self.ex_pool = Exchange(ndev, Pfl, sends_pool)
+        self.ex_full = Exchange(ndev, Pfl, sends_full)
+        self.comm_rows = self.ex_pool.comm_rows + self.ex_full.comm_rows
+
+        # coarse-side assembly tables
+        child_src = np.full((ndev, Pcl, 1 << D), self.ex_pool.buf_rows,
+                            dtype=np.int32)
+        pt_src = np.full((ndev, Pcl), self.ex_full.buf_rows, dtype=np.int32)
+        for i, ps, o, pt in child_info:
+            q, r = int(fshard[i]), int(cshard[ps])
+            if pt:
+                src = (i - q * Pfl) if q == r else self.ex_full.recv_index(
+                    r, q, i - q * Pfl)
+                pt_src[r, ps - r * Pcl] = src
+            else:
+                src = (i - q * Pfl) if q == r else self.ex_pool.recv_index(
+                    r, q, i - q * Pfl)
+                child_src[r, ps - r * Pcl, o] = src
+        self._child_src = jnp.asarray(child_src)
+        self._pt_src = jnp.asarray(pt_src)
+
+        # ---- prolongation: parent patches -> child shards -----------------
+        sends_par: Dict[Tuple[int, int], List[int]] = {}
+        for i, ps, o, pt in child_info:
+            q, r = int(cshard[ps]), int(fshard[i])
+            if q != r:
+                lst = sends_par.setdefault((q, r), [])
+                if (ps - q * Pcl) not in lst:
+                    lst.append(ps - q * Pcl)
+        for v in sends_par.values():
+            v.sort()
+        self.ex_par = Exchange(ndev, Pcl, sends_par)
+        self.comm_rows += self.ex_par.comm_rows
+
+        # per-orthant groups with uniform counts across shards (+ passthrough)
+        groups: Dict[int, List[List[Tuple[int, int]]]] = {
+            o: [[] for _ in range(ndev)] for o in range(1 << D)
+        }
+        ptg: List[List[Tuple[int, int]]] = [[] for _ in range(ndev)]
+        for i, ps, o, pt in child_info:
+            q, r = int(cshard[ps]), int(fshard[i])
+            src = (ps - q * Pcl) if q == r else self.ex_par.recv_index(
+                r, q, ps - q * Pcl)
+            if pt:
+                ptg[r].append((src, i - r * Pfl))
+            else:
+                groups[o][r].append((src, i - r * Pfl))
+        self._pgroups = []  # (orthant or None, SRC [ndev, G], TGTpos)
+        stacked_len = 0
+        entries = [(o, groups[o]) for o in range(1 << D)] + [(None, ptg)]
+        seg_meta = []
+        for o, per in entries:
+            G = max(len(x) for x in per)
+            if G == 0:
+                continue
+            src = np.full((ndev, G), self.ex_par.buf_rows, dtype=np.int32)
+            tgt = np.full((ndev, G), -1, dtype=np.int32)
+            for r in range(ndev):
+                for j, (s_, f_) in enumerate(per[r]):
+                    src[r, j] = s_
+                    tgt[r, j] = f_
+            seg_meta.append((o, jnp.asarray(src), tgt, stacked_len, G))
+            stacked_len += G
+        # inverse routing: fine local slot -> stacked row (pad -> stacked_len)
+        inv = np.full((ndev, Pfl), stacked_len, dtype=np.int32)
+        for o, src_j, tgt, base, G in seg_meta:
+            for r in range(ndev):
+                for j in range(G):
+                    if tgt[r, j] >= 0:
+                        inv[r, tgt[r, j]] = base + j
+        self._pseg = [(o, src_j, G) for (o, src_j, tgt, base, G) in seg_meta]
+        self._pinv = jnp.asarray(inv)
+        self._jit = {}
+
+    def _smap(self, name, fn, nargs):
+        if name not in self._jit:
+            self._jit[name] = jax.jit(
+                shard_map(fn, self.mesh, in_specs=(P("p"),) * nargs,
+                          out_specs=P("p"))
+            )
+        return self._jit[name]
+
+    def restrict(self, fine_u: jnp.ndarray) -> jnp.ndarray:
+        D, n = self.D, self.n
+
+        def f(u_loc):
+            me = jax.lax.axis_index("p")
+            # pool children locally before sending (surface-optimal)
+            shape = [u_loc.shape[0]]
+            for _ in range(D):
+                shape += [n // 2, 2]
+            pooled = u_loc.reshape(shape).mean(
+                axis=tuple(range(2, 2 * D + 2, 2)))
+            pbuf = self.ex_pool.run(pooled, me)
+            fbuf = self.ex_full.run(u_loc, me)
+            blocks = {o: pbuf[self._child_src[me][:, o]] for o in range(1 << D)}
+            for a in range(D):
+                arr_ax = 1 + (D - 1 - a)
+                merged = {}
+                for o in blocks:
+                    if (o >> a) & 1:
+                        continue
+                    merged[o] = jnp.concatenate(
+                        [blocks[o], blocks[o | (1 << a)]], axis=arr_ax)
+                blocks = merged
+            return blocks[0] + fbuf[self._pt_src[me]]
+
+        return self._smap("restrict", f, 1)(fine_u)
+
+    def prolong_add(self, coarse_u: jnp.ndarray, fine_u: jnp.ndarray) -> jnp.ndarray:
+        D, n = self.D, self.n
+        t = self.t
+
+        def f(uc_loc, uf_loc):
+            me = jax.lax.axis_index("p")
+            buf = self.ex_par.run(uc_loc, me)
+            parts = []
+            for o, src_j, G in self._pseg:
+                rows = buf[src_j[me]]  # [G, n^D] parent patches
+                if o is None:
+                    parts.append(rows)  # pass-through copy
+                elif self.prolong_mode == "linear":
+                    block = rows
+                    for a in range(D):
+                        bit = (o >> a) & 1
+                        W = t._wlin[bit].astype(block.dtype)
+                        arr_ax = 1 + (D - 1 - a)
+                        moved = jnp.moveaxis(block, arr_ax, -1)
+                        shp = moved.shape
+                        y = moved.reshape(-1, n) @ W.T
+                        block = jnp.moveaxis(y.reshape(shp), -1, arr_ax)
+                    parts.append(block)
+                else:
+                    q = t._quadrant_index(o)
+                    block = rows[(slice(None),) + q[1:]]
+                    for a in range(D):
+                        ax = 1 + a
+                        block = jnp.expand_dims(block, ax + 1)
+                        tile = [1] * block.ndim
+                        tile[ax + 1] = 2
+                        block = jnp.tile(block, tile)
+                        shp = list(block.shape)
+                        shp[ax] *= 2
+                        del shp[ax + 1]
+                        block = block.reshape(shp)
+                    parts.append(block)
+            if not parts:
+                return uf_loc
+            stacked = (jnp.concatenate(parts, axis=0)
+                       if len(parts) > 1 else parts[0])
+            zrow = jnp.zeros((1,) + stacked.shape[1:], dtype=stacked.dtype)
+            stacked_pad = jnp.concatenate([stacked, zrow], axis=0)
+            return uf_loc + stacked_pad[self._pinv[me]]
+
+        return self._smap("prolong", f, 2)(coarse_u, fine_u)
+
+
+class HaloApply:
+    """Back-compat wrapper: cut-face sharded composite-operator apply."""
+
+    def __init__(self, level: Level, mesh: Mesh):
+        self.sharded = ShardedLevel(level, mesh)
+        self.level = level
+        self.mesh = mesh
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.sharded.apply(u)

@@ -42,8 +42,16 @@ class SolveOptions:
     precond_dtype: object = jnp.float64
     dtype: object = jnp.float64
     krylov: str = "bicgstab"  # "bicgstab" | "cg" | "gmres"
+    # inner Krylov method of the mixed-precision IR solve; "cg" exploits
+    # the exact D-self-adjointness of the composite operator + V-cycle
+    # (see krylov.cg) at half the per-iteration cost of BiCGStab
+    inner_krylov: str = "cg"  # "cg" | "bicgstab" | "richardson"
     preconditioner: str = "gmg"  # "gmg" | "schwarz" | "none"
     patch_solver: str = "dft"  # "dft" (spectral) | "bcgs" (iterative)
+    # multi-chip communication schedule (only with a mesh):
+    # "pjit" — XLA partitions the global gathers; "halo" — explicit
+    # cut-face ppermute exchange (parallel/halo.ShardedLevel)
+    comm: str = "pjit"
 
 
 class PoissonSolver:
@@ -90,6 +98,25 @@ class PoissonSolver:
             self.gmg = None
         if mesh is not None:
             self.fine_level.set_mesh(mesh)
+        # cut-face halo mode: wrap every level/transfer in the explicit
+        # ppermute exchange engine (the op-level numerics are identical)
+        self._op = self.fine_level
+        if mesh is not None and self.opts.comm == "halo":
+            from .parallel.halo import ShardedLevel, ShardedTransfer
+
+            self._op = ShardedLevel(self.fine_level, mesh)
+            if self.gmg is not None:
+                wrapped = [
+                    self._op
+                    if l is self.fine_level
+                    else ShardedLevel(l, mesh)
+                    for l in self.gmg.levels
+                ]
+                self.gmg.transfers = [
+                    ShardedTransfer(tr, wrapped[k], wrapped[k + 1])
+                    for k, tr in enumerate(self.gmg.transfers)
+                ]
+                self.gmg.levels = wrapped
         self._solve_jit = None
         self._apply_jit = None
         self._fine_low = None
@@ -104,6 +131,20 @@ class PoissonSolver:
         if self.mesh is None:
             return f
         return jax.device_put(f, self.fine_level._psh)
+
+    def _volume_weight(self, dtype) -> jnp.ndarray:
+        """Per-cell volume weights [P, 1, ..] — the inner product in which
+        the composite operator and the V-cycle are exactly self-adjoint.
+
+        Normalized to mean 1: CG is invariant to a scalar rescaling of the
+        inner product, and raw cell volumes (~h^D ~ 1e-6) make f32 weighted
+        dots underflow as the residual shrinks."""
+        pl = self.hierarchy.finest
+        w = np.prod(pl.spacings, axis=1)
+        w = w / w.mean()
+        return jnp.asarray(
+            w.reshape((pl.num_patches,) + (1,) * pl.D), dtype=dtype
+        )
 
     # -- operators ----------------------------------------------------------
 
@@ -141,12 +182,19 @@ class PoissonSolver:
         if self._solve_jit is None:
             from .krylov import cg, gmres
 
-            A = self.fine_level.apply
+            A = self._op.apply
             M = self._preconditioner()
-            method = {"cg": cg, "gmres": gmres}.get(self.opts.krylov, bicgstab)
+            if self.opts.krylov == "cg":
+                w = self._volume_weight(self.opts.dtype)
 
-            def run(b, tol_, max_iter_):
-                return method(A, b, M=M, tol=tol_, max_iter=max_iter_)
+                def run(b, tol_, max_iter_):
+                    return cg(A, b, M=M, tol=tol_, max_iter=max_iter_, weight=w)
+
+            else:
+                method = gmres if self.opts.krylov == "gmres" else bicgstab
+
+                def run(b, tol_, max_iter_):
+                    return method(A, b, M=M, tol=tol_, max_iter=max_iter_)
 
             self._solve_jit = jax.jit(run, static_argnums=(2,))
         return self._solve_jit(
@@ -184,11 +232,36 @@ class PoissonSolver:
                 self._fine_low = Level(self.hierarchy.finest, dtype=pdtype)
                 if self.mesh is not None:
                     self._fine_low.set_mesh(self.mesh)
+                if self.mesh is not None and self.opts.comm == "halo":
+                    from .parallel.halo import ShardedLevel
+
+                    self._fine_low = ShardedLevel(self._fine_low, self.mesh)
         low = self._fine_low
-        key = (max_outer, inner_max_iter)
+        key = (max_outer, inner_max_iter, self.opts.inner_krylov)
         if self._inner_jit_key != key:
+            from .krylov import cg, richardson
+
             M = (lambda r: self.gmg.apply(r)) if self.gmg is not None else None
-            apply64 = self.fine_level.apply
+            apply64 = self._op.apply
+            inner_name = self.opts.inner_krylov
+            if inner_name == "cg":
+                w_in = self._volume_weight(pdtype)
+
+                def inner_solve(r32, tol_):
+                    return cg(low.apply, r32, M=M, tol=tol_,
+                              max_iter=inner_max_iter, weight=w_in)
+
+            elif inner_name == "richardson":
+
+                def inner_solve(r32, tol_):
+                    return richardson(low.apply, r32, M=M, tol=tol_,
+                                      max_iter=inner_max_iter)
+
+            else:
+
+                def inner_solve(r32, tol_):
+                    return bicgstab(low.apply, r32, M=M, tol=tol_,
+                                    max_iter=inner_max_iter)
 
             @jax.jit
             def run(f, tol_, inner_tol_):
@@ -212,13 +285,7 @@ class PoissonSolver:
 
                 def body(st):
                     u, r, best_u, best_rel, rel, k, inner_total, _ = st
-                    e_res = bicgstab(
-                        low.apply,
-                        r.astype(pdtype),
-                        M=M,
-                        tol=inner_tol_,
-                        max_iter=inner_max_iter,
-                    )
+                    e_res = inner_solve(r.astype(pdtype), inner_tol_)
                     e = jnp.where(jnp.isfinite(e_res.x), e_res.x, 0.0)
                     u_new = u + e.astype(f.dtype)
                     r_new = f - apply64(u_new)

@@ -195,3 +195,98 @@ def test_halo_apply_3d():
     u = shard_patch_array(jnp.asarray(u_np), mesh)
     out = jax.jit(ha)(u)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12, atol=1e-12)
+
+
+def _sharded_setup(D=2, n=8, ndev=8, neumann=False, seed=11):
+    from pressurepoissonsolver_tpu.ops.level_ops import Level as L
+
+    mesh = make_mesh(ndev)
+    t = refined_tree(D, 3 if D == 2 else 2, 1)
+    h = DomainHierarchy(t, n=n, neumann=neumann, num_shards=ndev)
+    lvl = L(h.finest)
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((lvl.P,) + h.finest.ns_shape)
+    return mesh, h, lvl, u
+
+
+def test_sharded_level_smooth_matches():
+    from pressurepoissonsolver_tpu.parallel.halo import ShardedLevel
+
+    mesh, h, lvl, u = _sharded_setup()
+    f = np.random.default_rng(1).standard_normal(u.shape)
+    sl = ShardedLevel(lvl, mesh)
+    ref = np.asarray(lvl.smooth(jnp.asarray(f), jnp.asarray(u)))
+    out = np.asarray(sl.smooth(jnp.asarray(f), jnp.asarray(u)))
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
+    ref0 = np.asarray(lvl.smooth_zero(jnp.asarray(f)))
+    out0 = np.asarray(sl.smooth_zero(jnp.asarray(f)))
+    np.testing.assert_allclose(out0, ref0, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_level_smooth_neumann_multigroup():
+    """Neumann mesh: multiple BC groups -> gathered per-patch transforms."""
+    from pressurepoissonsolver_tpu.parallel.halo import ShardedLevel
+
+    mesh, h, lvl, u = _sharded_setup(neumann=True)
+    assert len(lvl._solve_groups) > 1
+    f = np.random.default_rng(2).standard_normal(u.shape)
+    sl = ShardedLevel(lvl, mesh)
+    assert not sl._single_group
+    ref = np.asarray(lvl.smooth(jnp.asarray(f), jnp.asarray(u)))
+    out = np.asarray(sl.smooth(jnp.asarray(f), jnp.asarray(u)))
+    np.testing.assert_allclose(out, ref, rtol=1e-11, atol=1e-11)
+
+
+def test_sharded_level_apply_3d_matches():
+    from pressurepoissonsolver_tpu.parallel.halo import ShardedLevel
+
+    mesh, h, lvl, u = _sharded_setup(D=3, n=4, ndev=4)
+    sl = ShardedLevel(lvl, mesh)
+    ref = np.asarray(lvl.apply(jnp.asarray(u)))
+    out = np.asarray(sl.apply(jnp.asarray(u)))
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_transfers_match():
+    from pressurepoissonsolver_tpu.gmg import Transfer
+    from pressurepoissonsolver_tpu.ops.level_ops import Level as L
+    from pressurepoissonsolver_tpu.parallel.halo import (
+        ShardedLevel,
+        ShardedTransfer,
+    )
+
+    ndev = 8
+    mesh = make_mesh(ndev)
+    t = refined_tree(2, 3, 1)
+    h = DomainHierarchy(t, n=8, num_shards=ndev)
+    rng = np.random.default_rng(3)
+    for mode in ("constant", "linear"):
+        fine, coarse = L(h[0]), L(h[1])
+        tr = Transfer(fine, coarse, prolong_mode=mode)
+        st = ShardedTransfer(
+            tr, ShardedLevel(fine, mesh), ShardedLevel(coarse, mesh)
+        )
+        uf = rng.standard_normal((fine.P,) + h[0].ns_shape)
+        uc = rng.standard_normal((coarse.P,) + h[1].ns_shape)
+        ref_r = np.asarray(tr.restrict(jnp.asarray(uf)))
+        out_r = np.asarray(st.restrict(jnp.asarray(uf)))
+        np.testing.assert_allclose(out_r, ref_r, rtol=1e-12, atol=1e-12)
+        ref_p = np.asarray(tr.prolong_add(jnp.asarray(uc), jnp.asarray(uf)))
+        out_p = np.asarray(st.prolong_add(jnp.asarray(uc), jnp.asarray(uf)))
+        np.testing.assert_allclose(out_p, ref_p, rtol=1e-12, atol=1e-12)
+
+
+def test_halo_comm_volume_bounded_by_cut_faces():
+    """The exchange moves at most one face row per directed cut face."""
+    from pressurepoissonsolver_tpu.parallel.halo import ShardedLevel
+    from pressurepoissonsolver_tpu.parallel.partition import (
+        block_partition,
+        cut_faces,
+    )
+
+    for neumann in (False, True):
+        mesh, h, lvl, _ = _sharded_setup(neumann=neumann)
+        sl = ShardedLevel(lvl, mesh)
+        shard_of = block_partition(h.finest.num_patches, 8)
+        cuts = cut_faces(h.finest, shard_of)
+        assert 0 < sl.comm_rows <= cuts
