@@ -47,6 +47,10 @@ def build_parser(D: int) -> argparse.ArgumentParser:
     p.add_argument("--patch_solver", type=str, default="dft",
                    choices=["dft", "fftw", "bcgs"],
                    help="per-patch solver (fftw is an alias of the spectral dft)")
+    p.add_argument("--iface-interp", dest="iface_interp", type=str,
+                   default="bilinear", choices=["bilinear", "quadratic"],
+                   help="refinement-boundary closure (quadratic = the 2D "
+                   "higher-order StencilHelper2d closures)")
     p.add_argument("--matrix-type", dest="matrix_type", type=str, default="wrap",
                    choices=["wrap", "crs"],
                    help="operator form: matrix-free ('wrap') or assembled "
@@ -194,6 +198,9 @@ def main(D: int, argv=None) -> int:
 
     # invalid combinations error out, as in the reference
     # (apps/3d/steady.cpp:389-392 throws on unsupported --prec choices)
+    if args.iface_interp == "quadratic" and D != 2:
+        parser.error("--iface-interp quadratic is 2D only "
+                     "(reference StencilHelper2d)")
     if args.prec in ("cheb", "BlockJacobi") and not args.schur:
         parser.error(
             f"--prec {args.prec} preconditions the Schur interface system; "
@@ -267,6 +274,7 @@ def main(D: int, argv=None) -> int:
         dtype=dtype,
         precond_dtype=pdtype,
         comm=args.comm,
+        iface_scheme=args.iface_interp,
     )
     timer.stop("Domain Initialization")
 
@@ -297,7 +305,9 @@ def main(D: int, argv=None) -> int:
         if args.schur:
             crs_S = bcoo_matvec(assemble_schur(solver.fine_level))
         else:
-            crs_A = bcoo_matvec(assemble_composite(hierarchy.finest))
+            crs_A = bcoo_matvec(
+                assemble_composite(hierarchy.finest, scheme=args.iface_interp)
+            )
         timer.stop("Matrix Formation")
     timer.stop("Linear System Setup")
 

@@ -179,7 +179,9 @@ class IfaceTables:
     # per patch side: own-interface slot (0 where none) and validity mask
     iface_side_idx: np.ndarray  # [P, 2D] int32
     iface_side_mask: np.ndarray  # [P, 2D] bool
-    # contribution list
+    # contribution list; ``contrib_side`` indexes a *face row*:
+    # ``side * face_depth + depth`` (depth 0 = boundary face, depth 1 =
+    # one cell inward — used by the higher-order 2D closures)
     contrib_patch: np.ndarray  # [C] int32
     contrib_side: np.ndarray  # [C] int32
     contrib_iface: np.ndarray  # [C] int32
@@ -187,11 +189,197 @@ class IfaceTables:
     # case templates
     case_w: np.ndarray  # [ncase, m, K] float64
     case_src: np.ndarray  # [ncase, m, K] int32
-    # spacing of each interface (h of the side's patch) — used by Schur
-    # diagnostics; not needed by the core ops.
+    # number of face depths referenced by contributions (1 = boundary
+    # faces only; 2 = boundary + first-interior faces)
+    face_depth: int = 1
 
 
-def build_iface_tables(level: PatchLevel) -> IfaceTables:
+def quadratic2d_templates(n: int):
+    """Case templates of the reference's higher-order 2D refinement
+    closures (``StencilHelper2d.h:222-224,344-346``, used by the 2D
+    assembled operator ``MatrixHelper2d.cpp:30-122``), re-expressed as
+    interface-value templates: with the ghost closure
+    ``ghost = -u_b + 2*gamma'``, the effective interface value is
+    ``gamma' = (ghost_HO + u_b) / 2`` where ``ghost_HO`` is the closure's
+    ghost row.  Sources per refinement side:
+
+    fine side (coarse neighbor, orthant q):
+      * own boundary face: ``5/6 * I``   (the (2/3 + 1)/2 own-cell term)
+      * own inner face:    ``-1/10 * I`` (the -1/5 inner-cell term / 2)
+      * coarse boundary face: quadratic tangential interpolation ``Q_q``
+        with end/penultimate-row specials and even/odd parity
+        (coefficients {1/12, 1/2, -1/20} mid; {1/12, -3/10, 3/4} end;
+        {-1/20, 7/30, 7/20} penultimate — all halved).
+
+    coarse side (fine neighbors):
+      * own boundary face: ``T_own`` — identity/2 plus the tangential
+        {-1/30, -1/30} mid / {-1/10, 1/15, -1/30} end couplings, halved.
+      * fine boundary face (orthant q): ``1/6`` pair-sum into the half
+      * fine inner face (orthant q):    ``1/10`` pair-sum into the half
+
+    Returns ``(case_index, W, S)`` shaped like :func:`case_templates`.
+    """
+    m = n
+    K = 4
+    names = ["normal", "hofb", "hofi", "hocb"]
+    names += [f"hofc{q}" for q in range(2)]
+    names += [f"hocf{q}" for q in range(2)]
+    names += [f"hocfi{q}" for q in range(2)]
+    case_index = {name: i for i, name in enumerate(names)}
+    W = np.zeros((len(names), m, K))
+    S = np.zeros((len(names), m, K), dtype=np.int32)
+
+    ci = case_index["normal"]
+    W[ci, :, 0] = 0.5
+    S[ci, :, 0] = np.arange(m)
+
+    ci = case_index["hofb"]  # fine side, own boundary face
+    W[ci, :, 0] = 5.0 / 6.0
+    S[ci, :, 0] = np.arange(m)
+    ci = case_index["hofi"]  # fine side, own inner face
+    W[ci, :, 0] = -1.0 / 10.0
+    S[ci, :, 0] = np.arange(m)
+
+    ci = case_index["hocb"]  # coarse side, own boundary face
+    for i in range(m):
+        if i == 0:
+            taps = [(0, 1.0 - 1.0 / 10), (1, 1.0 / 15), (2, -1.0 / 30)]
+        elif i == m - 1:
+            taps = [(m - 1, 1.0 - 1.0 / 10), (m - 2, 1.0 / 15), (m - 3, -1.0 / 30)]
+        else:
+            taps = [(i, 1.0), (i - 1, -1.0 / 30), (i + 1, -1.0 / 30)]
+        for k, (j, w) in enumerate(taps):
+            S[ci, i, k] = j
+            W[ci, i, k] = 0.5 * w
+
+    for q in range(2):
+        # fine side: quadratic interpolation from the coarse boundary face
+        ci = case_index[f"hofc{q}"]
+        for i in range(m):
+            if q == 0 and i == 0:
+                taps = [(0, 3.0 / 4), (1, -3.0 / 10), (2, 1.0 / 12)]
+            elif q == 0 and i == 1:
+                taps = [(0, 7.0 / 20), (1, 7.0 / 30), (2, -1.0 / 20)]
+            elif q == 1 and i == m - 1:
+                taps = [(m - 1, 3.0 / 4), (m - 2, -3.0 / 10), (m - 3, 1.0 / 12)]
+            elif q == 1 and i == m - 2:
+                taps = [(m - 1, 7.0 / 20), (m - 2, 7.0 / 30), (m - 3, -1.0 / 20)]
+            else:
+                j = q * (m // 2) + i // 2
+                near, far = (j - 1, j + 1) if i % 2 == 0 else (j + 1, j - 1)
+                taps = [(j, 1.0 / 2), (near, 1.0 / 12), (far, -1.0 / 20)]
+            for k, (jj, w) in enumerate(taps):
+                S[ci, i, k] = jj
+                W[ci, i, k] = 0.5 * w
+        # coarse side: pair sums from fine boundary / inner faces
+        for name, w in ((f"hocf{q}", 1.0 / 6.0), (f"hocfi{q}", 1.0 / 10.0)):
+            ci = case_index[name]
+            for i in range(q * (m // 2), (q + 1) * (m // 2)):
+                j = i - q * (m // 2)
+                S[ci, i, 0] = 2 * j
+                W[ci, i, 0] = w
+                S[ci, i, 1] = 2 * j + 1
+                W[ci, i, 1] = w
+    return case_index, W, S
+
+
+def build_iface_tables(level: PatchLevel, scheme: str = "bilinear") -> IfaceTables:
+    if scheme == "quadratic":
+        return _build_iface_tables_quadratic2d(level)
+    if scheme != "bilinear":
+        raise ValueError(f"unknown interface scheme {scheme!r}")
+    return _build_iface_tables_bilinear(level)
+
+
+def _build_iface_tables_quadratic2d(level: PatchLevel) -> IfaceTables:
+    """Interface tables with the higher-order 2D refinement closures.
+
+    Same interface id scheme as the bilinear builder; only the
+    contribution cases at coarse/fine sides change, and contributions may
+    source the first-interior face (``face_depth = 2``)."""
+    if level.D != 2:
+        raise ValueError("the quadratic closures are 2D only "
+                         "(reference StencilHelper2d.h)")
+    D, n = level.D, level.n
+    S2 = 2 * D
+    m = n
+    P = level.num_patches
+    ids = level.ids
+
+    iface_slot: Dict[int, int] = {}
+
+    def slot(iface_id: int) -> int:
+        if iface_id not in iface_slot:
+            iface_slot[iface_id] = len(iface_slot)
+        return iface_slot[iface_id]
+
+    side_idx = np.zeros((P, S2), dtype=np.int32)
+    side_mask = np.zeros((P, S2), dtype=bool)
+    c_patch: List[int] = []
+    c_side: List[int] = []  # side * 2 + depth
+    c_iface: List[int] = []
+    c_case: List[str] = []
+
+    def add(p, s, depth, i, case):
+        c_patch.append(p)
+        c_side.append(2 * s + depth)
+        c_iface.append(i)
+        c_case.append(case)
+
+    for p in range(P):
+        pid = int(ids[p])
+        for s in range(S2):
+            t = level.nbr_type[p, s]
+            if t == NBR_NONE:
+                continue
+            if t == NBR_NORMAL:
+                nbr_pid = int(ids[level.nbr_slot[p, s]])
+                if geo.side_is_lower(s):
+                    own = pid * S2 + s
+                else:
+                    own = nbr_pid * S2 + geo.side_opposite(s)
+                i = slot(own)
+                side_idx[p, s] = i
+                side_mask[p, s] = True
+                add(p, s, 0, i, "normal")
+            elif t == NBR_COARSE:
+                # fine side: own iface from own faces + coarse boundary face
+                i_own = slot(pid * S2 + s)
+                side_idx[p, s] = i_own
+                side_mask[p, s] = True
+                q = int(level.coarse_orth[p, s])
+                nbr = int(level.nbr_slot[p, s])
+                add(p, s, 0, i_own, "hofb")
+                add(p, s, 1, i_own, "hofi")
+                add(nbr, geo.side_opposite(s), 0, i_own, f"hofc{q}")
+            elif t == NBR_FINE:
+                # coarse side: own iface from own face + fine faces
+                i_own = slot(pid * S2 + s)
+                side_idx[p, s] = i_own
+                side_mask[p, s] = True
+                add(p, s, 0, i_own, "hocb")
+                for q in range(2):
+                    fine = int(level.fine_nbr_slots[p, s, q])
+                    add(fine, geo.side_opposite(s), 0, i_own, f"hocf{q}")
+                    add(fine, geo.side_opposite(s), 1, i_own, f"hocfi{q}")
+
+    case_index, W, Src = quadratic2d_templates(n)
+    return IfaceTables(
+        num_ifaces=len(iface_slot),
+        m=m,
+        iface_side_idx=side_idx,
+        iface_side_mask=side_mask,
+        contrib_patch=np.array(c_patch, dtype=np.int32),
+        contrib_side=np.array(c_side, dtype=np.int32),
+        contrib_iface=np.array(c_iface, dtype=np.int32),
+        contrib_case=np.array([case_index[c] for c in c_case], dtype=np.int32),
+        case_w=W,
+        case_src=Src,
+        face_depth=2,
+    )
+
+
+def _build_iface_tables_bilinear(level: PatchLevel) -> IfaceTables:
     """Enumerate interfaces and trace-interpolation contributions.
 
     Mirrors the id scheme of ``SchurInfo.h`` and the contribution pattern of

@@ -31,13 +31,14 @@ from .domain import PatchLevel
 from .iface import IfaceTables, build_iface_tables
 
 
-def _face_cell_flat(D: int, n: int, s: int) -> np.ndarray:
-    """Flat in-patch cell index of each face-vector entry of side ``s``.
+def _face_cell_flat(D: int, n: int, s: int, depth: int = 0) -> np.ndarray:
+    """Flat in-patch cell index of each face-vector entry of side ``s``,
+    ``depth`` cells inward from the boundary.
 
     Face vector order: lowest remaining axis fastest; patch flat order:
     C order of [z, y, x] (x fastest)."""
     a = s // 2
-    fixed = 0 if s % 2 == 0 else n - 1
+    fixed = depth if s % 2 == 0 else n - 1 - depth
     m = n ** (D - 1)
     idx = np.arange(m)
     coords = np.zeros((m, D), dtype=np.int64)  # coords[:, axis]
@@ -57,15 +58,17 @@ def assemble_interpolation(level: PatchLevel, tables: IfaceTables = None) -> sp.
     D, n = level.D, level.n
     m = t.m
     cells = n**D
+    depth = getattr(t, "face_depth", 1)
     rows, cols, vals = [], [], []
     for c in range(len(t.contrib_patch)):
         p = int(t.contrib_patch[c])
-        s = int(t.contrib_side[c])
+        code = int(t.contrib_side[c])
+        s, d = (code // depth, code % depth) if depth > 1 else (code, 0)
         i = int(t.contrib_iface[c])
         k = int(t.contrib_case[c])
         W = t.case_w[k]  # [m, K]
         S = t.case_src[k]
-        face_flat = _face_cell_flat(D, n, s)
+        face_flat = _face_cell_flat(D, n, s, d)
         for out_i in range(m):
             for kk in range(W.shape[1]):
                 w = W[out_i, kk]
@@ -138,9 +141,12 @@ def assemble_ghost_injection(level: PatchLevel, tables: IfaceTables = None) -> s
     )
 
 
-def assemble_composite(level: PatchLevel) -> sp.csr_matrix:
-    """The full composite-grid operator as CSR: ``A = L + G @ Gamma``."""
-    t = build_iface_tables(level)
+def assemble_composite(level: PatchLevel, scheme: str = "bilinear") -> sp.csr_matrix:
+    """The full composite-grid operator as CSR: ``A = L + G @ Gamma``.
+
+    ``scheme="quadratic"`` assembles the 2D higher-order refinement
+    closures (reference ``MatrixHelper2d.cpp:30-122``)."""
+    t = build_iface_tables(level, scheme=scheme)
     L = assemble_patch_stencil(level)
     G = assemble_ghost_injection(level, t)
     Gamma = assemble_interpolation(level, t)

@@ -44,14 +44,19 @@ def _arr_axis(D: int, ref_axis: int) -> int:
     return 1 + (D - 1 - ref_axis)
 
 
-def extract_faces(u: jnp.ndarray, D: int, n: int) -> jnp.ndarray:
-    """All boundary-cell traces: ``[P, 2D, m]`` with ``m = n**(D-1)``."""
+def extract_faces(u: jnp.ndarray, D: int, n: int, depth: int = 1) -> jnp.ndarray:
+    """Boundary-cell traces: ``[P, 2D*depth, m]`` with ``m = n**(D-1)``.
+
+    ``depth > 1`` also extracts faces ``d`` cells inward (row order:
+    ``side * depth + d``) — sources of the higher-order 2D closures."""
     P = u.shape[0]
     faces = []
     for a in range(D):
         ax = _arr_axis(D, a)
-        faces.append(jnp.take(u, 0, axis=ax).reshape(P, -1))
-        faces.append(jnp.take(u, n - 1, axis=ax).reshape(P, -1))
+        for d in range(depth):
+            faces.append(jnp.take(u, d, axis=ax).reshape(P, -1))
+        for d in range(depth):
+            faces.append(jnp.take(u, n - 1 - d, axis=ax).reshape(P, -1))
     return jnp.stack(faces, axis=1)
 
 
@@ -70,8 +75,10 @@ class Level:
     """Device tables + jitted core ops for one refinement level."""
 
     def __init__(self, patch_level: PatchLevel, dtype=jnp.float64,
-                 use_pallas: Optional[bool] = None, patch_solver: str = "dft"):
+                 use_pallas: Optional[bool] = None, patch_solver: str = "dft",
+                 iface_scheme: str = "bilinear"):
         self.patch_solver_kind = patch_solver  # "dft" (spectral) | "bcgs"
+        self.iface_scheme = iface_scheme
         self.pl = patch_level
         self.D = patch_level.D
         self.n = patch_level.n
@@ -89,10 +96,11 @@ class Level:
         self._pallas_interpret = False  # tests flip this to run on CPU
 
         t = getattr(patch_level, "prebuilt_iface_tables", None)
-        if t is None:
-            t = iface_mod.build_iface_tables(patch_level)
+        if t is None or iface_scheme != "bilinear":
+            t = iface_mod.build_iface_tables(patch_level, scheme=iface_scheme)
         self.tables = t
         self.num_ifaces = t.num_ifaces
+        self.face_depth = getattr(t, "face_depth", 1)
 
         f = lambda x: jnp.asarray(x)
         self.iface_idx = f(t.iface_side_idx)
@@ -269,7 +277,7 @@ class Level:
         """Trace interpolation: ``gamma[NIf, m]`` from patch values."""
         if self.num_ifaces == 0:  # single isolated patch (coarsest level)
             return jnp.zeros((0, self.m), dtype=u.dtype)
-        faces = extract_faces(u, self.D, self.n)  # [P, 2D, m]
+        faces = extract_faces(u, self.D, self.n, self.face_depth)  # [P, 2D*depth, m]
         g = faces[self._c_patch_sorted, self._c_side_sorted]  # [C, m], case-sorted
         parts = []
         for case, start, stop in self._contrib_groups:

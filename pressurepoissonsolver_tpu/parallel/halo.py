@@ -140,6 +140,9 @@ class ShardedLevel:
         Pl = self.Pl
         shard_of = _shard_of(Pg, ndev)
         self._psh = NamedSharding(mesh, P("p"))
+        # face rows per patch (higher-order closures source inner faces too)
+        self.face_depth = getattr(t, "face_depth", 1)
+        S2f = S2 * self.face_depth
 
         # ---- contribution bookkeeping (case-sorted, as in Level) ----------
         order = np.argsort(t.contrib_case, kind="stable")
@@ -167,7 +170,7 @@ class ShardedLevel:
         for c in range(C):
             p, s = int(c_patch[c]), int(c_side[c])
             q = int(shard_of[p])
-            local_row = (p - q * Pl) * S2 + s
+            local_row = (p - q * Pl) * S2f + s
             for r in readers.get(int(c_iface[c]), ()):  # shards needing it
                 if r == q:
                     continue
@@ -178,7 +181,7 @@ class ShardedLevel:
                 sends.setdefault((q, r), []).append(local_row)
         for v in sends.values():
             v.sort()
-        self.exchange = Exchange(ndev, Pl * S2, sends)
+        self.exchange = Exchange(ndev, Pl * S2f, sends)
         self.comm_rows = self.exchange.comm_rows
 
         # ---- per-shard needed interfaces and contribution tables ----------
@@ -201,7 +204,7 @@ class ShardedLevel:
             q = int(shard_of[p])
             i = int(c_iface[c])
             k = int(c_case[c])
-            local_row = (p - q * Pl) * S2 + s
+            local_row = (p - q * Pl) * S2f + s
             for r in readers.get(i, ()):  # compute on every reader shard
                 src = (
                     local_row
@@ -297,7 +300,7 @@ class ShardedLevel:
         """Exchange cut faces and compute this shard's gf [Pl, 2D, m]."""
         lvl = self.base
         D, n, m = self.D, self.n, self.m
-        faces = extract_faces(u_loc, D, n).reshape(-1, m)  # [Pl*2D, m]
+        faces = extract_faces(u_loc, D, n, self.face_depth).reshape(-1, m)
         buf = self.exchange.run(faces, me)  # [buf_rows+1, m]
         g = buf[self._csrc[me]]  # [Ctot, m]
         parts = []

@@ -52,6 +52,10 @@ class SolveOptions:
     # "pjit" — XLA partitions the global gathers; "halo" — explicit
     # cut-face ppermute exchange (parallel/halo.ShardedLevel)
     comm: str = "pjit"
+    # interface interpolation at refinement boundaries: "bilinear"
+    # (reference BilinearInterpolator/TriLinInterp) or "quadratic"
+    # (2D only; the reference's higher-order StencilHelper2d closures)
+    iface_scheme: str = "bilinear"
 
 
 class PoissonSolver:
@@ -74,10 +78,18 @@ class PoissonSolver:
         self.hierarchy = hierarchy
         self.opts = options or SolveOptions()
         self.mesh = mesh
+        if self.opts.iface_scheme != "bilinear":
+            # the higher-order closures are not self-adjoint in the volume
+            # inner product — fall back to BiCGStab
+            if self.opts.krylov == "cg":
+                self.opts.krylov = "bicgstab"
+            if self.opts.inner_krylov == "cg":
+                self.opts.inner_krylov = "bicgstab"
         self.fine_level = Level(
             hierarchy.finest,
             dtype=self.opts.dtype,
             patch_solver=self.opts.patch_solver,
+            iface_scheme=self.opts.iface_scheme,
         )
         if self.opts.preconditioner != "gmg":
             self.opts.precondition = False

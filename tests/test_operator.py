@@ -115,3 +115,81 @@ def test_apply_matches_dense_symmetric_uniform():
     # and negative definite (Dirichlet)
     w = np.linalg.eigvalsh(A)
     assert w.max() < 0
+
+
+class TestQuadraticClosure:
+    """Higher-order 2D refinement-boundary closures
+    (reference StencilHelper2d.h:222-346, MatrixHelper2d.cpp:30-122)."""
+
+    def _setup(self, n=8):
+        from pressurepoissonsolver_tpu.domain import DomainHierarchy
+        from pressurepoissonsolver_tpu.geometry import refined_tree
+        from pressurepoissonsolver_tpu.ops.level_ops import Level
+
+        t = refined_tree(2, 3, 1)
+        h = DomainHierarchy(t, n=n)
+        return h, Level(h.finest, iface_scheme="quadratic")
+
+    def test_csr_matches_matrix_free(self):
+        from pressurepoissonsolver_tpu.matrix import assemble_composite
+
+        h, lvl = self._setup()
+        A = assemble_composite(h.finest, scheme="quadratic")
+        rng = np.random.default_rng(0)
+        u = rng.standard_normal((lvl.P, 8, 8))
+        ref = np.asarray(lvl.apply(jnp.asarray(u))).ravel()
+        np.testing.assert_allclose(A @ u.ravel(), ref, rtol=1e-10, atol=1e-9)
+
+    def test_exact_on_quadratics_at_refinement_boundaries(self):
+        """lap(x^2+y^2) = 4 exactly on interior + refinement rows; the
+        bilinear closure has an O(1) truncation there."""
+        from pressurepoissonsolver_tpu.ops.level_ops import Level
+
+        h, lvl = self._setup()
+        n = 8
+        cc = h.finest.cell_centers()
+        uq = cc[..., 0] ** 2 + cc[..., 1] ** 2
+        phys = h.finest.nbr_type == 0
+        mask = np.ones((lvl.P, n, n), dtype=bool)
+        for p in range(lvl.P):
+            for s in range(4):
+                if phys[p, s]:
+                    a = s // 2
+                    sl = [p, slice(None), slice(None)]
+                    sl[1 + (1 - a)] = 0 if s % 2 == 0 else n - 1
+                    mask[tuple(sl)] = False
+        au = np.asarray(lvl.apply(jnp.asarray(uq)))
+        assert np.abs(au - 4.0)[mask].max() < 1e-10
+        lvl_b = Level(h.finest)
+        au_b = np.asarray(lvl_b.apply(jnp.asarray(uq)))
+        assert np.abs(au_b - 4.0)[mask].max() > 0.1  # bilinear is not exact
+
+    def test_solve_converges_with_quadratic_closure(self):
+        from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+        from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+        h, _ = self._setup()
+        s = PoissonSolver(h, SolveOptions(tol=1e-11, iface_scheme="quadratic"))
+        f, exact = init_problem(h.finest, get_problem("trig", 2))
+        res = s.solve(jnp.asarray(f))
+        rep = s.report(res.x, jnp.asarray(f), jnp.asarray(exact))
+        assert rep["residual"] < 1e-10
+        assert rep["error"] < 5e-3
+
+    def test_sharded_apply_matches_quadratic(self):
+        """The halo engine handles depth-2 face sources."""
+        from pressurepoissonsolver_tpu.domain import DomainHierarchy
+        from pressurepoissonsolver_tpu.geometry import refined_tree
+        from pressurepoissonsolver_tpu.ops.level_ops import Level
+        from pressurepoissonsolver_tpu.parallel.halo import ShardedLevel
+        from pressurepoissonsolver_tpu.parallel.sharding import make_mesh
+
+        t = refined_tree(2, 3, 1)
+        h = DomainHierarchy(t, n=8, num_shards=8)
+        lvl = Level(h.finest, iface_scheme="quadratic")
+        sl = ShardedLevel(lvl, make_mesh(8))
+        rng = np.random.default_rng(2)
+        u = rng.standard_normal((lvl.P, 8, 8))
+        ref = np.asarray(lvl.apply(jnp.asarray(u)))
+        out = np.asarray(sl.apply(jnp.asarray(u)))
+        np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
