@@ -1,16 +1,21 @@
-"""Scaling harness: stencil-throughput and solve scaling over mesh sizes
-and device counts (BASELINE.md: nnz/s at 1 chip / 1 host / N hosts).
+"""Scaling harness: stencil throughput and solve scaling over device counts
+(BASELINE.md: nnz/s at 1 chip / 1 host / N hosts).
+
+Runs the PUBLIC sharded API (``DomainHierarchy(num_shards=...)`` +
+``PoissonSolver(..., mesh=...)``) for both communication schedules
+(``pjit`` and the cut-face ``halo`` engine) and prints one JSON line per
+configuration.
 
 On CPU (JAX_PLATFORMS=cpu + xla_force_host_platform_device_count) this
-measures the sharded-execution path over N virtual devices; on a real
-multi-chip TPU slice the same code runs over ICI.
+validates the sharded execution path over N *virtual* devices sharing one
+host's cores — useful for correctness and comm-schedule comparison, NOT a
+hardware scaling claim.  On a real multi-chip TPU slice the same code runs
+over ICI.
 """
 
 import argparse
 import json
 import time
-
-import numpy as np
 
 
 def main():
@@ -19,20 +24,20 @@ def main():
     ap.add_argument("--divide", type=int, default=1)
     ap.add_argument("-n", type=int, default=16)
     ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--comm", type=str, nargs="+", default=["pjit", "halo"])
+    ap.add_argument("--solve", action="store_true",
+                    help="also time a complete solve to 1e-8")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from pressurepoissonsolver_tpu.domain import DomainHierarchy
     from pressurepoissonsolver_tpu.geometry import Tree, refined_tree
-    from pressurepoissonsolver_tpu.ops.level_ops import Level
-    from pressurepoissonsolver_tpu.parallel.sharding import (
-        make_mesh,
-        pad_level,
-        patch_sharding,
-        shard_patch_array,
-    )
+    from pressurepoissonsolver_tpu.parallel.sharding import make_mesh
+    from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+    from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
 
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     try:
@@ -43,51 +48,67 @@ def main():
         tree = refined_tree(2, 5, 2)
     for _ in range(args.divide):
         tree.refine_leaves()
-    h = DomainHierarchy(tree, n=args.n)
 
     for ndev in args.devices:
-        mesh = make_mesh(ndev)
-        pl = pad_level(h.finest, ndev)
-        lvl = Level(pl, dtype=dtype)
-        sh = patch_sharding(mesh)
-        rng = np.random.default_rng(0)
-        u = shard_patch_array(
-            jnp.asarray(
-                rng.standard_normal((pl.num_patches,) + pl.ns_shape), dtype=dtype
-            ),
-            mesh,
-        )
-
-        inner = 50
-
-        @jax.jit
-        def loop(v):
-            def body(i, x):
-                return jax.lax.with_sharding_constraint(
-                    lvl.apply(x) * jnp.asarray(1e-3, dtype), sh
-                )
-            return jax.lax.fori_loop(0, inner, body, v)
-
-        loop(u).block_until_ready()
-        t0 = time.time()
-        reps = 5
-        for _ in range(reps):
-            out = loop(u)
-        out.block_until_ready()
-        t = (time.time() - t0) / reps / inner
-        dof = h.finest.num_cells
-        nnz = (2 * h.finest.D + 1) * dof
-        print(
-            json.dumps(
-                {
-                    "devices": ndev,
-                    "dof": dof,
-                    "apply_ms": round(t * 1e3, 4),
-                    "nnz_per_s": round(nnz / t, 1),
-                    "dtype": args.dtype,
-                }
+        for comm in (args.comm if ndev > 1 else ["pjit"]):
+            mesh = make_mesh(ndev) if ndev > 1 else None
+            h = DomainHierarchy(tree, n=args.n, num_shards=ndev)
+            opts = SolveOptions(
+                dtype=dtype, precond_dtype=dtype, comm=comm, tol=1e-8
             )
-        )
+            solver = PoissonSolver(h, opts, mesh=mesh)
+            dof = h.finest.real_patches * h.finest.cells_per_patch
+            nnz = (2 * h.finest.D + 1) * dof
+            rng = np.random.default_rng(0)
+            u = solver._device_put(
+                jnp.asarray(
+                    rng.standard_normal(
+                        (h.finest.num_patches,) + h.finest.ns_shape
+                    ),
+                    dtype=dtype,
+                )
+            )
+            A = solver._op.apply
+
+            inner = 50
+
+            @jax.jit
+            def loop(v):
+                def body(i, x):
+                    return A(x) * jnp.asarray(1e-3, dtype)
+
+                return jax.lax.fori_loop(0, inner, body, v)
+
+            loop(u).block_until_ready()
+            t0 = time.time()
+            reps = 5
+            for _ in range(reps):
+                out = loop(u)
+            out.block_until_ready()
+            t = (time.time() - t0) / reps / inner
+
+            rec = {
+                "devices": ndev,
+                "comm": comm if ndev > 1 else "single",
+                "dof": dof,
+                "apply_ms": round(t * 1e3, 4),
+                "nnz_per_s": round(nnz / t, 1),
+                "dtype": args.dtype,
+                "platform": jax.devices()[0].platform,
+            }
+            if comm == "halo" and ndev > 1:
+                rec["cut_face_rows"] = solver._op.comm_rows
+            if args.solve:
+                f_np, _ = init_problem(h.finest, get_problem("trig", 2))
+                f = jnp.asarray(f_np, dtype=dtype)
+                res = solver.solve(f, tol=1e-6)
+                res.x.block_until_ready()
+                t0 = time.time()
+                res = solver.solve(f, tol=1e-6)
+                res.x.block_until_ready()
+                rec["solve_s"] = round(time.time() - t0, 4)
+                rec["iterations"] = int(res.iterations)
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
