@@ -75,8 +75,7 @@ class Level:
     """Device tables + jitted core ops for one refinement level."""
 
     def __init__(self, patch_level: PatchLevel, dtype=jnp.float64,
-                 use_pallas: Optional[bool] = None, patch_solver: str = "dft",
-                 iface_scheme: str = "bilinear"):
+                 patch_solver: str = "dft", iface_scheme: str = "bilinear"):
         self.patch_solver_kind = patch_solver  # "dft" (spectral) | "bcgs"
         self.iface_scheme = iface_scheme
         self.pl = patch_level
@@ -85,15 +84,14 @@ class Level:
         self.P = patch_level.num_patches
         self.dtype = dtype
         self.m = self.n ** (self.D - 1)
-        # The Pallas kernels compile and validate on TPU, but at the
-        # production patch sizes (n=8..32) XLA's fusion of the same
-        # pipeline currently wins (Mosaic pads 16-wide tiles to the
-        # 128-lane registers; measured 2-5x slower at n=16), so the XLA
-        # path is the default.  Flip on for experimentation/large n.
-        if use_pallas is None:
-            use_pallas = False
-        self.use_pallas = use_pallas
-        self._pallas_interpret = False  # tests flip this to run on CPU
+        # Hand-written Pallas kernels for the stencil/spectral pipeline were
+        # built, validated on chip, and REMOVED in round 2: at production
+        # patch sizes (n=8..32) Mosaic pads the 16-wide patch tiles to the
+        # 128-lane registers (min f32 tile 8x128) while XLA reshapes the
+        # whole batch into well-tiled GEMMs — measured 2-5x in XLA's favor
+        # (docs/PERFORMANCE.md).  The batched-matmul formulation below IS
+        # the TPU-native design; Pallas re-enters only if a fused
+        # gather+stencil kernel beats XLA at realistic sizes.
 
         t = getattr(patch_level, "prebuilt_iface_tables", None)
         if t is None or iface_scheme != "bilinear":
@@ -319,16 +317,6 @@ class Level:
         return self._stencil_with_faces(u, self.gamma_faces(gamma))
 
     def _stencil_with_faces(self, u: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
-        if self.use_pallas:
-            from . import pallas_kernels as pk
-
-            return pk.stencil_block(
-                u,
-                gf.astype(u.dtype),
-                self.h2inv.astype(u.dtype),
-                self.ghost_coef.astype(u.dtype),
-                interpret=self._pallas_interpret,
-            )
         D, n = self.D, self.n
         out = jnp.zeros_like(u)
         for a in range(D):
@@ -415,21 +403,6 @@ class Level:
         for g in self._solve_groups:
             x = jax.lax.slice_in_dim(fs, g.start, g.stop, axis=0)
             dn = jax.lax.slice_in_dim(self._denom_sorted, g.start, g.stop, axis=0)
-            if self.use_pallas:
-                from . import pallas_kernels as pk
-
-                parts.append(
-                    pk.spectral_solve_block(
-                        x,
-                        dn.astype(x.dtype),
-                        [self._tmats[k].astype(x.dtype) for k in g.fwd_kinds],
-                        [self._tmats[k].astype(x.dtype) for k in g.inv_kinds],
-                        scale,
-                        pin_dc=g.pin_dc,
-                        interpret=self._pallas_interpret,
-                    )
-                )
-                continue
             for a in range(D):
                 x = self._apply_transform(self._tmats[g.fwd_kinds[a]], x, _arr_axis(D, a))
             x = x / dn
