@@ -51,12 +51,24 @@ def main():
     hierarchy = DomainHierarchy(tree, n=n)
     dof = hierarchy.finest.num_cells
 
+    gmg_opts = CycleOpts(
+        pre_sweeps=int(os.environ.get("PPS_BENCH_PRE", "1")),
+        post_sweeps=int(os.environ.get("PPS_BENCH_POST", "1")),
+        cycle_type=os.environ.get("PPS_BENCH_CYCLE", "V"),
+        coarse_direct_max_dof=int(os.environ.get("PPS_BENCH_COARSE_DOF", "4096")),
+        max_levels=int(os.environ.get("PPS_BENCH_MAX_LEVELS", "0")),
+        coarse_sweeps=int(os.environ.get("PPS_BENCH_COARSE_SWEEPS", "1")),
+    )
+    inner = os.environ.get("PPS_BENCH_INNER", "bicgstab")
     if dtype_name == "float32":
-        opts = SolveOptions(tol=1e-6, dtype=jnp.float32, precond_dtype=jnp.float32)
+        opts = SolveOptions(tol=1e-6, dtype=jnp.float32, precond_dtype=jnp.float32,
+                            gmg=gmg_opts, inner_krylov=inner)
     elif dtype_name in ("mixed", "ir"):
-        opts = SolveOptions(tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float32)
+        opts = SolveOptions(tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float32,
+                            gmg=gmg_opts, inner_krylov=inner)
     else:
-        opts = SolveOptions(tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float64)
+        opts = SolveOptions(tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float64,
+                            gmg=gmg_opts, inner_krylov=inner)
 
     solver = PoissonSolver(hierarchy, opts)
     f_np, exact = init_problem(hierarchy.finest, get_problem("trig", 2))

@@ -42,10 +42,16 @@ class SolveOptions:
     precond_dtype: object = jnp.float64
     dtype: object = jnp.float64
     krylov: str = "bicgstab"  # "bicgstab" | "cg" | "gmres"
-    # inner Krylov method of the mixed-precision IR solve; "cg" exploits
+    # inner Krylov method of the mixed-precision IR solve.  "cg" exploits
     # the exact D-self-adjointness of the composite operator + V-cycle
-    # (see krylov.cg) at half the per-iteration cost of BiCGStab
-    inner_krylov: str = "cg"  # "cg" | "bicgstab" | "richardson"
+    # (see krylov.cg) at half the per-iteration cost of BiCGStab, but in
+    # f32 it is reliable only for the FIRST refinement round: later
+    # rounds solve against noise-floor residuals where the bf16-pass
+    # spectral solves make M slightly non-self-adjoint and the CG
+    # recurrence stalls (measured on chip: 60-iter stall vs BiCGStab's
+    # 5).  BiCGStab is the robust default; CG remains right for the
+    # full-f64 path.
+    inner_krylov: str = "bicgstab"  # "bicgstab" | "cg" | "richardson"
     preconditioner: str = "gmg"  # "gmg" | "schwarz" | "none"
     patch_solver: str = "dft"  # "dft" (spectral) | "bcgs" (iterative)
     # multi-chip communication schedule (only with a mesh):

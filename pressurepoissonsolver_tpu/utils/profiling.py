@@ -1,14 +1,27 @@
-"""Profiling/tracing hooks (the aux 'tracing' subsystem; SURVEY.md §5).
+"""Profiling/tracing: device traces, op timing, and roofline estimates
+(the aux 'tracing' subsystem; SURVEY.md §5).
 
-The reference has only the section timer; for TPU runs we additionally
-expose ``jax.profiler`` traces so kernels can be inspected in
-TensorBoard/Perfetto.
+The reference has only the MPI-synchronized section timer; here we add
+
+* ``trace`` / ``annotate`` — ``jax.profiler`` capture for TensorBoard/
+  Perfetto inspection of the compiled kernels;
+* ``time_op`` — robust wall timing of a jitted callable (warm-up +
+  ``block_until_ready``), both dispatch-bound (per call) and in-graph
+  (``fori_loop``-chained) variants;
+* ``op_report`` — per-core-op timing table of a Level (interpolate /
+  stencil / patch solve / smooth / full apply) with bandwidth-roofline
+  percentages, the honest counterpart of BASELINE's "per-kernel
+  speed-of-light" requirement.
+
+``scripts/profile_ops.py`` is the CLI for these.
 """
 
 from __future__ import annotations
 
 import contextlib
 import os
+import time
+from typing import Callable, Dict, Optional
 
 
 @contextlib.contextmanager
@@ -33,3 +46,108 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def time_op(fn: Callable, *args, reps: int = 20, in_graph: bool = False):
+    """Seconds per call of ``fn(*args)`` after a compile/warm-up call.
+
+    ``in_graph=True`` chains ``reps`` calls inside one jitted
+    ``fori_loop`` (measuring steady-state in-program cost, no dispatch);
+    otherwise each rep is a separate dispatch.
+    """
+    import jax
+
+    if in_graph:
+        import jax.numpy as jnp
+
+        @jax.jit
+        def loop(x):
+            def body(i, v):
+                out = fn(v, *args[1:])
+                if out.shape == v.shape:
+                    return out
+                # shape-changing op: keep a data dependency so XLA cannot
+                # dead-code-eliminate it (costs one extra reduction pass)
+                return v + jnp.mean(out)
+
+            return jax.lax.fori_loop(0, reps, body, x)
+
+        out = loop(args[0])
+        jax.block_until_ready(out)
+        t0 = time.time()
+        out = loop(args[0])
+        jax.block_until_ready(out)
+        return (time.time() - t0) / reps
+
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = jfn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps
+
+
+#: rough peak HBM bandwidth per chip, bytes/s (for roofline %)
+HBM_BYTES_PER_S = {
+    "TPU v5 lite": 819e9,  # v5e
+    "TPU v4": 1200e9,
+    "TPU v6": 1640e9,  # trillium
+    "cpu": 50e9,
+}
+
+
+def _device_bw() -> float:
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "cpu")
+    for k, v in HBM_BYTES_PER_S.items():
+        if kind.startswith(k):
+            return v
+    return HBM_BYTES_PER_S["cpu"]
+
+
+def op_report(level, reps: int = 20) -> Dict[str, dict]:
+    """Timing + roofline table of a Level's core ops.
+
+    Roofline bytes are the *algorithmically required* traffic (read the
+    input patch field once, write the output once) — intermediate
+    materializations count against the achieved fraction, which is the
+    point: it measures how far the compiled pipeline is from
+    speed-of-light for the op's useful data.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    bw = _device_bw()
+    itemsize = jnp.dtype(level.dtype).itemsize
+    cells = level.P * level.pl.cells_per_patch
+    field_bytes = cells * itemsize
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(
+        rng.standard_normal((level.P,) + level.pl.ns_shape), dtype=level.dtype
+    )
+    g = jnp.asarray(
+        rng.standard_normal((max(level.num_ifaces, 1), level.m)),
+        dtype=level.dtype,
+    )
+    nnz = (2 * level.D + 1) * cells
+
+    out: Dict[str, dict] = {}
+
+    def add(name, fn, args, bytes_needed, nnz_count=None):
+        t = time_op(fn, *args, reps=reps, in_graph=(args[0].shape == u.shape))
+        rec = {
+            "ms": round(t * 1e3, 4),
+            "roofline_pct": round(100 * bytes_needed / bw / t, 2),
+        }
+        if nnz_count:
+            rec["gnnz_per_s"] = round(nnz_count / t / 1e9, 2)
+        out[name] = rec
+
+    add("interpolate", level.interpolate, (u,), 2 * field_bytes)
+    add("apply", level.apply, (u,), 2 * field_bytes, nnz)
+    add("patch_solve", lambda x: level.patch_solve(x, g), (u,), 2 * field_bytes)
+    add("smooth", lambda x: level.smooth(x, x), (u,), 3 * field_bytes)
+    return out
