@@ -70,3 +70,45 @@ def test_morton_order_reduces_cut():
     cut_m = cut_faces(re, block_partition(re.num_patches, shards))
     cut_id = cut_faces(lvl, block_partition(lvl.num_patches, shards))
     assert cut_m <= cut_id
+
+
+def test_richardson_matches_cg_on_spd_system():
+    """Preconditioned Richardson converges on a diagonally-dominant SPD
+    system and agrees with CG's solution."""
+    import jax.numpy as jnp
+
+    from pressurepoissonsolver_tpu.krylov import cg, richardson
+
+    rng = np.random.default_rng(0)
+    N = 40
+    B = rng.standard_normal((N, N))
+    A_np = B @ B.T + N * np.eye(N)
+    b_np = rng.standard_normal(N)
+    A = lambda x: jnp.asarray(A_np) @ x
+    # a contractive preconditioner (rho(I - MA) < 1, as the GMG cycle is)
+    Minv = 0.7 * np.linalg.inv(A_np)
+    M = lambda r: jnp.asarray(Minv) @ r
+    r1 = richardson(A, jnp.asarray(b_np), M=M, tol=1e-12, max_iter=500)
+    r2 = cg(A, jnp.asarray(b_np), M=M, tol=1e-12, max_iter=500)
+    assert float(r1.residual_norm / r1.r0_norm) < 1e-11
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-9)
+    assert int(r2.iterations) <= int(r1.iterations)
+
+
+def test_weighted_cg_composite_solve():
+    """Volume-weighted PCG solves the adaptive composite system (the
+    operator + V-cycle are exactly D-self-adjoint)."""
+    import jax.numpy as jnp
+
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import refined_tree
+    from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+    from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+    h = DomainHierarchy(refined_tree(2, 3, 1), n=8)
+    s = PoissonSolver(h, SolveOptions(tol=1e-11, krylov="cg"))
+    f, exact = init_problem(h.finest, get_problem("trig", 2))
+    res = s.solve(jnp.asarray(f))
+    rep = s.report(res.x, jnp.asarray(f), jnp.asarray(exact))
+    assert rep["residual"] < 1e-10
+    assert int(res.iterations) < 25
