@@ -253,13 +253,18 @@ class DomainHierarchy:
             else:
                 pl, tables = extract_level(tree, lvl, n, neumann), None
             if num_shards > 1:
+                from . import iface as iface_mod
                 from .parallel.partition import morton_order, reorder_level
                 from .parallel.sharding import pad_level
 
                 if partition == "morton":
-                    pl = reorder_level(pl, morton_order(pl))
+                    perm = morton_order(pl)
+                    pl = reorder_level(pl, perm)
+                    if tables is not None:
+                        tables = iface_mod.permute_tables(tables, perm)
                 pl = pad_level(pl, num_shards)
-                tables = None  # rebuilt for the new slot order
+                if tables is not None:
+                    tables = iface_mod.pad_tables(tables, pl.num_patches)
             pl.prebuilt_iface_tables = tables  # consumed by ops.level_ops.Level
             self.levels.append(pl)
             self.iface_tables.append(tables)

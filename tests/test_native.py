@@ -67,3 +67,32 @@ def test_native_speedup_large_mesh():
     assert na_t.num_ifaces == py_t.num_ifaces
     # the native path should be dramatically faster (conservative bound)
     assert t_na < t_py
+
+
+def test_sharded_hierarchy_native_tables_match_python():
+    """Permuted+padded native tables == tables rebuilt in Python."""
+    import jax.numpy as jnp
+
+    from pressurepoissonsolver_tpu import iface as iface_mod
+    from pressurepoissonsolver_tpu import native as native_mod
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import refined_tree
+    from pressurepoissonsolver_tpu.ops.level_ops import Level
+
+    if not native_mod.available():
+        pytest.skip("native tablegen unavailable")
+    t = refined_tree(2, 3, 1)
+    h_native = DomainHierarchy(t, n=4, num_shards=8, use_native=True)
+    h_python = DomainHierarchy(t, n=4, num_shards=8, use_native=False)
+    pl_n, pl_p = h_native.finest, h_python.finest
+    assert h_native.iface_tables[0] is not None
+    np.testing.assert_array_equal(pl_n.ids, pl_p.ids)
+    # the op pipeline built from both table sets must agree exactly
+    lvl_n, lvl_p = Level(pl_n), Level(pl_p)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((pl_n.num_patches, 4, 4)))
+    np.testing.assert_allclose(
+        np.asarray(lvl_n.apply(u)), np.asarray(lvl_p.apply(u)), rtol=1e-13
+    )
+    g_n, g_p = lvl_n.interpolate(u), lvl_p.interpolate(u)
+    assert g_n.shape[0] == g_p.shape[0]
