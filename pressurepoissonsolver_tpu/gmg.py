@@ -53,6 +53,41 @@ class CycleOpts:
     coarse_direct: bool = True
 
 
+def _axis_matmul(M: jnp.ndarray, x: jnp.ndarray, ax: int) -> jnp.ndarray:
+    """Apply an n×n matrix along array axis ``ax`` of ``x`` via broadcasting
+    matmuls (MXU-tiled; no moveaxis for the two minor axes)."""
+    if ax == x.ndim - 1:
+        return jnp.matmul(x, M.T, precision=jax.lax.Precision.HIGHEST)
+    if ax == x.ndim - 2:
+        return jnp.matmul(M, x, precision=jax.lax.Precision.HIGHEST)
+    moved = jnp.moveaxis(x, ax, -1)
+    y = jnp.matmul(moved, M.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(y, -1, ax)
+
+
+def _constant_prolong_matrix(n: int, half: int) -> np.ndarray:
+    """n×n 0/1 matrix: fine cell i of the (half)-child reads parent cell
+    ``(i + half*n)//2`` — piecewise-constant injection (``GMG::DrctIntp``)
+    in matmul form."""
+    W = np.zeros((n, n))
+    for i in range(n):
+        W[i, (i + half * n) // 2] = 1.0
+    return W
+
+
+def _restrict_matrix(n: int, half: int) -> np.ndarray:
+    """n×n matrix accumulating a full fine-child patch line into the
+    (half)-orthant of the parent line by cell averaging
+    (``GMG::AvgRstr``): parent cell ``j + half*n/2`` gets
+    ``(fine[2j] + fine[2j+1]) / 2`` per axis."""
+    R = np.zeros((n, n))
+    for j in range(n // 2):
+        J = j + half * (n // 2)
+        R[J, 2 * j] = 0.5
+        R[J, 2 * j + 1] = 0.5
+    return R
+
+
 def _linear_prolong_matrix(n: int, half: int) -> np.ndarray:
     """n×n matrix mapping a parent patch's 1D cell line to the fine cells of
     its lower (half=0) or upper (half=1) child, by cell-centered linear
@@ -95,6 +130,10 @@ class Transfer:
         self._wlin = [
             jnp.asarray(_linear_prolong_matrix(n, h)) for h in range(2)
         ]
+        self._wconst = [
+            jnp.asarray(_constant_prolong_matrix(n, h)) for h in range(2)
+        ]
+        self._wrstr = [jnp.asarray(_restrict_matrix(n, h)) for h in range(2)]
         pslots = parent_slots(fine.pl, coarse.pl)
         passthrough = fine.pl.orth_on_parent < 0
         orth = fine.pl.orth_on_parent
@@ -157,62 +196,38 @@ class Transfer:
     def restrict(self, fine_u: jnp.ndarray) -> jnp.ndarray:
         """Cell-averaging restriction into a new coarse-level vector.
 
-        Pure gather form: per orthant, gather the pooled child blocks by the
-        coarse-side child table, assemble the 2^D quadrants with concats,
-        and gather pass-through patches — no device scatter-adds."""
+        Matmul form: per orthant, gather the full child patches by the
+        coarse-side child table and accumulate them through the per-axis
+        averaging-placement matrices ``_restrict_matrix`` — full-size
+        ``[.., n, n]`` operands throughout, so every op is MXU-tiled
+        (the earlier pool+concat assembly worked on ``(n/2)``-minor
+        blocks, which pad ~16x in the 8x128 TPU tile layout and made the
+        transfers the V-cycle bottleneck)."""
         D, n = self.D, self.n
-        # average-pool by 2 along every spatial axis
-        shape = [fine_u.shape[0]]
-        for _ in range(D):
-            shape += [n // 2, 2]
-        pooled = fine_u.reshape(shape).mean(axis=tuple(range(2, 2 * D + 2, 2)))
-        zrow = jnp.zeros((1,) + pooled.shape[1:], dtype=fine_u.dtype)
-        pooled_pad = jnp.concatenate([pooled, zrow], axis=0)
-        # blocks[o] = the orthant-o child block of every coarse patch
-        blocks = {o: pooled_pad[self._child_slot[:, o]] for o in range(1 << D)}
-        # combine pairs along each spatial axis: bit a of o = upper half
-        for a in range(D):
-            arr_ax = 1 + (D - 1 - a)
-            merged = {}
-            for o in blocks:
-                if (o >> a) & 1:
-                    continue
-                hi = o | (1 << a)
-                merged[o] = jnp.concatenate([blocks[o], blocks[hi]], axis=arr_ax)
-            blocks = merged
-        assembled = blocks[0]  # [Pc, n, n(, n)]
         fine_pad = jnp.concatenate(
             [fine_u, jnp.zeros((1,) + fine_u.shape[1:], dtype=fine_u.dtype)], axis=0
         )
+        assembled = None
+        for o in range(1 << D):
+            block = fine_pad[self._child_slot[:, o]]  # [Pc, n, n(, n)]
+            for a in range(D):
+                bit = (o >> a) & 1
+                R = self._wrstr[bit].astype(block.dtype)
+                block = _axis_matmul(R, block, 1 + (D - 1 - a))
+            assembled = block if assembled is None else assembled + block
         return self.coarse._constrain_p(assembled + fine_pad[self._pt_slot])
 
     def _prolong_block(self, coarse_u: jnp.ndarray, o: int, psel) -> jnp.ndarray:
-        """The orthant-``o`` prolongation block for parent rows ``psel``."""
+        """The orthant-``o`` prolongation block for parent rows ``psel``:
+        per-axis matmuls with the constant-injection or linear matrices
+        (full-size operands — see ``restrict`` on TPU tile layout)."""
         D, n = self.D, self.n
-        if self.prolong_mode == "linear":
-            block = coarse_u[psel]  # full parent patch [|sel|, n^D]
-            for a in range(D):
-                bit = (o >> a) & 1
-                W = self._wlin[bit].astype(block.dtype)
-                arr_ax = 1 + (D - 1 - a)
-                moved = jnp.moveaxis(block, arr_ax, -1)
-                shp = moved.shape
-                y = moved.reshape(-1, n) @ W.T
-                block = jnp.moveaxis(y.reshape(shp), -1, arr_ax)
-            return block
-        q = self._quadrant_index(o)
-        block = coarse_u[(psel,) + q[1:]]  # [|sel|, (n/2)^D]
+        mats = self._wlin if self.prolong_mode == "linear" else self._wconst
+        block = coarse_u[psel]  # full parent patch [|sel|, n, n(, n)]
         for a in range(D):
-            # piecewise-constant x2 upsample as broadcast+reshape
-            ax = 1 + a
-            block = jnp.expand_dims(block, ax + 1)
-            tile = [1] * block.ndim
-            tile[ax + 1] = 2
-            block = jnp.tile(block, tile)
-            shp = list(block.shape)
-            shp[ax] *= 2
-            del shp[ax + 1]
-            block = block.reshape(shp)
+            bit = (o >> a) & 1
+            W = mats[bit].astype(block.dtype)
+            block = _axis_matmul(W, block, 1 + (D - 1 - a))
         return block
 
     def prolong_add(self, coarse_u: jnp.ndarray, fine_u: jnp.ndarray) -> jnp.ndarray:
