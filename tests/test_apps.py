@@ -98,3 +98,60 @@ def test_out_matrix_rhs(tmp_path):
     A = sp.load_npz(mpath)
     rhs = np.load(rpath)
     assert A.shape[0] == rhs.size
+
+
+def test_cli_sharded_halo(tmp_path, capsys):
+    """--shards 8 --comm halo end-to-end through the CLI."""
+    from pressurepoissonsolver_tpu import cli
+
+    out = tmp_path / "m.json"
+    rc = cli.main(
+        2,
+        [
+            "--uniform", "3", "-n", "8", "-t", "1e-10",
+            "--shards", "8", "--comm", "halo",
+            "--out-json", str(out),
+        ],
+    )
+    assert rc == 0
+    import json
+
+    rep = json.loads(out.read_text())
+    assert rep["residual"] < 1e-9
+
+
+def test_cli_ir_solver(tmp_path):
+    """--solver ir reports outer/inner iterations and converges."""
+    from pressurepoissonsolver_tpu import cli
+
+    out = tmp_path / "m.json"
+    rc = cli.main(
+        2,
+        ["--uniform", "3", "-n", "8", "--solver", "ir", "-t", "1e-10",
+         "--out-json", str(out)],
+    )
+    assert rc == 0
+    import json
+
+    rep = json.loads(out.read_text())
+    assert rep["residual"] < 1e-9
+    assert rep["outer_iterations"] >= 1
+    assert rep["inner_iterations"] >= 1
+
+
+def test_cli_crs_matches_wrap(tmp_path):
+    """--matrix-type crs solves to the same solution as matrix-free."""
+    import json
+
+    from pressurepoissonsolver_tpu import cli
+
+    outs = []
+    for mt in ("wrap", "crs"):
+        out = tmp_path / f"{mt}.json"
+        cli.main(
+            2,
+            ["--uniform", "2", "-n", "8", "-t", "1e-11",
+             "--matrix-type", mt, "--out-json", str(out)],
+        )
+        outs.append(json.loads(out.read_text()))
+    assert abs(outs[0]["error"] - outs[1]["error"]) < 1e-9
