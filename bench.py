@@ -116,6 +116,11 @@ def main():
     u.block_until_ready()
     apply_s = (time.time() - t0) / reps
     nnz_per_s = 5 * dof / apply_s
+    # achieved fraction of HBM speed-of-light for the op's algorithmic
+    # traffic (read u + write Au, f64)
+    from pressurepoissonsolver_tpu.utils.profiling import _device_bw
+
+    roofline_pct = 100 * (2 * dof * 8) / _device_bw() / apply_s
 
     dof_per_s = dof / solve_s
     baseline_dof_per_s = 3.34e5  # reference 1-core Schur+hypre complete solve
@@ -131,6 +136,7 @@ def main():
         "residual": rep["residual"],
         "error": rep["error"],
         "stencil_nnz_per_s": round(nnz_per_s, 1),
+        "stencil_roofline_pct": round(roofline_pct, 2),
         "compile_s": round(compile_and_first - solve_s, 2),
         "dtype": dtype_name,
         "device": str(jax.devices()[0]),
