@@ -53,8 +53,18 @@ except ImportError:  # pragma: no cover
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
                               out_specs=out_specs, check_rep=False)
 
+from ..gmg import _axis_matmul
 from ..ops.level_ops import Level, _arr_axis, extract_faces
 from ..ops import transforms as tr
+
+
+def _placement_matrix(n: int, half: int) -> np.ndarray:
+    """[n, n/2] 0/1 matrix placing a pooled child line into the
+    (half)-orthant of the parent line."""
+    E = np.zeros((n, n // 2))
+    for j in range(n // 2):
+        E[j + half * (n // 2), j] = 1.0
+    return E
 
 
 class Exchange:
@@ -616,10 +626,12 @@ class ShardedTransfer:
 
     def restrict(self, fine_u: jnp.ndarray) -> jnp.ndarray:
         D, n = self.D, self.n
+        emats = [jnp.asarray(_placement_matrix(n, b)) for b in range(2)]
 
         def f(u_loc):
             me = jax.lax.axis_index("p")
-            # pool children locally before sending (surface-optimal)
+            # pool children locally before sending (surface-optimal comm:
+            # (n/2)^D values per cross-shard child)
             shape = [u_loc.shape[0]]
             for _ in range(D):
                 shape += [n // 2, 2]
@@ -627,17 +639,16 @@ class ShardedTransfer:
                 axis=tuple(range(2, 2 * D + 2, 2)))
             pbuf = self.ex_pool.run(pooled, me)
             fbuf = self.ex_full.run(u_loc, me)
-            blocks = {o: pbuf[self._child_src[me][:, o]] for o in range(1 << D)}
-            for a in range(D):
-                arr_ax = 1 + (D - 1 - a)
-                merged = {}
-                for o in blocks:
-                    if (o >> a) & 1:
-                        continue
-                    merged[o] = jnp.concatenate(
-                        [blocks[o], blocks[o | (1 << a)]], axis=arr_ax)
-                blocks = merged
-            return blocks[0] + fbuf[self._pt_src[me]]
+            # orthant assembly via 0/1 placement matmuls (MXU-tiled; the
+            # concat-merge tree on (n/2)-minor blocks pads ~16x on TPU)
+            assembled = None
+            for o in range(1 << D):
+                block = pbuf[self._child_src[me][:, o]]
+                for a in range(D):
+                    E = emats[(o >> a) & 1].astype(block.dtype)
+                    block = _axis_matmul(E, block, 1 + (D - 1 - a))
+                assembled = block if assembled is None else assembled + block
+            return assembled + fbuf[self._pt_src[me]]
 
         return self._smap("restrict", f, 1)(fine_u)
 
@@ -648,35 +659,17 @@ class ShardedTransfer:
         def f(uc_loc, uf_loc):
             me = jax.lax.axis_index("p")
             buf = self.ex_par.run(uc_loc, me)
+            mats = t._wlin if self.prolong_mode == "linear" else t._wconst
             parts = []
             for o, src_j, G in self._pseg:
                 rows = buf[src_j[me]]  # [G, n^D] parent patches
                 if o is None:
                     parts.append(rows)  # pass-through copy
-                elif self.prolong_mode == "linear":
+                else:
                     block = rows
                     for a in range(D):
-                        bit = (o >> a) & 1
-                        W = t._wlin[bit].astype(block.dtype)
-                        arr_ax = 1 + (D - 1 - a)
-                        moved = jnp.moveaxis(block, arr_ax, -1)
-                        shp = moved.shape
-                        y = moved.reshape(-1, n) @ W.T
-                        block = jnp.moveaxis(y.reshape(shp), -1, arr_ax)
-                    parts.append(block)
-                else:
-                    q = t._quadrant_index(o)
-                    block = rows[(slice(None),) + q[1:]]
-                    for a in range(D):
-                        ax = 1 + a
-                        block = jnp.expand_dims(block, ax + 1)
-                        tile = [1] * block.ndim
-                        tile[ax + 1] = 2
-                        block = jnp.tile(block, tile)
-                        shp = list(block.shape)
-                        shp[ax] *= 2
-                        del shp[ax + 1]
-                        block = block.reshape(shp)
+                        W = mats[(o >> a) & 1].astype(block.dtype)
+                        block = _axis_matmul(W, block, 1 + (D - 1 - a))
                     parts.append(block)
             if not parts:
                 return uf_loc
