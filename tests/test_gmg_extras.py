@@ -77,3 +77,30 @@ def test_wcycle_and_linear_interpolator_converge():
         rep = s.report(res.x, jnp.asarray(f), jnp.asarray(exact))
         assert rep["residual"] < 1e-10, (opts, rep)
         assert int(res.iterations) < 25
+
+
+def test_3d_transfers_preserve_constant_and_integral():
+    """Matmul-form transfers in 3D: restriction preserves integrals,
+    prolongation preserves constants (incl. pass-through patches)."""
+    import jax.numpy as jnp
+
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import refined_tree
+    from pressurepoissonsolver_tpu.gmg import Transfer
+    from pressurepoissonsolver_tpu.ops.level_ops import Level
+
+    t = refined_tree(3, 2, 1)
+    h = DomainHierarchy(t, n=4)
+    fine, coarse = Level(h[0]), Level(h[1])
+    for mode in ("constant", "linear"):
+        tr = Transfer(fine, coarse, prolong_mode=mode)
+        ones_c = jnp.ones((coarse.P,) + h[1].ns_shape)
+        zf = jnp.zeros((fine.P,) + h[0].ns_shape)
+        up = np.asarray(tr.prolong_add(ones_c, zf))
+        np.testing.assert_allclose(up, 1.0, rtol=1e-13)
+        rng = np.random.default_rng(0)
+        uf = jnp.asarray(rng.standard_normal((fine.P,) + h[0].ns_shape))
+        rc = tr.restrict(uf)
+        np.testing.assert_allclose(
+            float(coarse.integrate(rc)), float(fine.integrate(uf)), rtol=1e-12
+        )
