@@ -339,6 +339,15 @@ class ShardedLevel:
         return gf * self._imask[me][..., None].astype(gf.dtype)
 
     def _stencil_local(self, u_loc, gf, h2inv, coef):
+        """Ghost-closure stencil, split into an exchange-independent base
+        (ghost = c*u_b) plus face corrections ``+= 2 h^-2 gf``.
+
+        The base term has no data dependency on the halo exchange, so
+        XLA's latency-hiding scheduler is free to overlap the interior
+        stencil compute with the in-flight ``ppermute``s — the BASELINE
+        "halo collectives overlapped with interior stencil compute"
+        schedule, obtained by dependency structure instead of manual
+        double buffering."""
         D, n = self.D, self.n
         Pl = u_loc.shape[0]
         out = jnp.zeros_like(u_loc)
@@ -349,16 +358,22 @@ class ShardedLevel:
             u_hi = jnp.take(u_loc, n - 1, axis=ax)
             c_lo = coef[:, 2 * a].reshape((Pl,) + (1,) * (D - 1))
             c_hi = coef[:, 2 * a + 1].reshape((Pl,) + (1,) * (D - 1))
-            ghost_lo = c_lo * u_lo + 2.0 * gf[:, 2 * a].reshape(fs)
-            ghost_hi = c_hi * u_hi + 2.0 * gf[:, 2 * a + 1].reshape(fs)
             lo = jnp.concatenate(
-                [jnp.expand_dims(ghost_lo, ax),
+                [jnp.expand_dims(c_lo * u_lo, ax),
                  jax.lax.slice_in_dim(u_loc, 0, n - 1, axis=ax)], axis=ax)
             hi = jnp.concatenate(
                 [jax.lax.slice_in_dim(u_loc, 1, n, axis=ax),
-                 jnp.expand_dims(ghost_hi, ax)], axis=ax)
+                 jnp.expand_dims(c_hi * u_hi, ax)], axis=ax)
             h2i = h2inv[:, a].reshape((Pl,) + (1,) * D)
             out = out + (lo - 2.0 * u_loc + hi) * h2i
+        # face corrections (the only exchange-dependent term)
+        for a in range(D):
+            ax = _arr_axis(D, a)
+            h2f = h2inv[:, a].reshape((Pl,) + (1,) * (D - 1))
+            idx_lo = tuple([slice(None)] * ax + [0])
+            idx_hi = tuple([slice(None)] * ax + [n - 1])
+            out = out.at[idx_lo].add(2.0 * h2f * gf[:, 2 * a].reshape(fs))
+            out = out.at[idx_hi].add(2.0 * h2f * gf[:, 2 * a + 1].reshape(fs))
         return out
 
     def _fold_local(self, fc, gf, h2inv):
