@@ -136,20 +136,25 @@ class Level:
             else:
                 self._case_scalar.append(None)
 
-        order = np.argsort(t.contrib_case, kind="stable")
+        # contributions sorted scalars-first (stable by case): the scalar
+        # prefix applies in ONE elementwise multiply with per-row weights,
+        # and the matmul remainder in ONE batched contraction with
+        # per-row-gathered templates — two ops replacing ~#cases
+        # slices+matmuls (in-graph op latency is a first-order cost)
+        is_mm = np.array(
+            [self._case_scalar[int(k)] is None for k in t.contrib_case],
+            dtype=bool,
+        )
+        order = np.lexsort((np.arange(C), t.contrib_case, is_mm))
         self._c_patch_sorted = f(t.contrib_patch[order])
         self._c_side_sorted = f(t.contrib_side[order])
         cs = t.contrib_case[order]
-        # static (case, start, stop) groups
-        groups = []
-        start = 0
-        while start < C:
-            stop = start
-            while stop < C and cs[stop] == cs[start]:
-                stop += 1
-            groups.append((int(cs[start]), start, stop))
-            start = stop
-        self._contrib_groups = groups
+        self._n_scalar = int((~is_mm).sum())
+        w_row = np.array(
+            [self._case_scalar[int(k)] for k in cs[: self._n_scalar]]
+        )
+        self._w_scalar = f(w_row.reshape(-1, 1)).astype(dtype)
+        self._T_rows = f(case_T[cs[self._n_scalar:]]).astype(dtype)  # [Cm,m,m]
 
         # per-interface gather of its (sorted-order) contribution rows
         by_iface = [[] for _ in range(t.num_ifaces)]
@@ -276,23 +281,30 @@ class Level:
         if self.num_ifaces == 0:  # single isolated patch (coarsest level)
             return jnp.zeros((0, self.m), dtype=u.dtype)
         faces = extract_faces(u, self.D, self.n, self.face_depth)  # [P, 2D*depth, m]
-        g = faces[self._c_patch_sorted, self._c_side_sorted]  # [C, m], case-sorted
+        g = faces[self._c_patch_sorted, self._c_side_sorted]  # [C, m], scalars first
+        C, Cs = g.shape[0], self._n_scalar
         parts = []
-        for case, start, stop in self._contrib_groups:
-            rows = jax.lax.slice_in_dim(g, start, stop, axis=0)
-            w = self._case_scalar[case]
-            if w is not None:
-                # identity-scaled template: exact elementwise scaling
-                parts.append(rows * jnp.asarray(w, dtype=u.dtype))
-            else:
-                # refinement-boundary cases: true-f32 matmul (the default
-                # bf16 MXU passes cost ~3 digits, which the 2/h^2 ghost
-                # closure amplifies into O(1e-3) operator error — fatal for
-                # f32 Krylov)
-                parts.append(
-                    jnp.matmul(rows, self._case_T[case].T.astype(u.dtype),
-                               precision=jax.lax.Precision.HIGHEST)
+        if Cs > 0:
+            # identity-scaled templates (normal/c2c — the bulk): one
+            # elementwise multiply, exact at any precision
+            parts.append(
+                jax.lax.slice_in_dim(g, 0, Cs, axis=0)
+                * self._w_scalar.astype(u.dtype)
+            )
+        if Cs < C:
+            # refinement-boundary cases: one batched contraction with
+            # per-row templates, in true-f32 (the default bf16 MXU passes
+            # cost ~3 digits, which the 2/h^2 ghost closure amplifies into
+            # O(1e-3) operator error — fatal for f32 Krylov)
+            rows = jax.lax.slice_in_dim(g, Cs, C, axis=0)
+            parts.append(
+                jnp.einsum(
+                    "rj,rij->ri",
+                    rows,
+                    self._T_rows.astype(u.dtype),
+                    precision=jax.lax.Precision.HIGHEST,
                 )
+            )
         vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         # gather-form reduction onto interfaces (row C is the zero pad)
         vals_padded = jnp.concatenate(
