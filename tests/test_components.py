@@ -112,3 +112,18 @@ def test_weighted_cg_composite_solve():
     rep = s.report(res.x, jnp.asarray(f), jnp.asarray(exact))
     assert rep["residual"] < 1e-10
     assert int(res.iterations) < 25
+
+
+def test_profiling_op_report():
+    """op_report returns timing + roofline fields for every core op."""
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import uniform_tree
+    from pressurepoissonsolver_tpu.ops.level_ops import Level
+    from pressurepoissonsolver_tpu.utils import profiling
+
+    h = DomainHierarchy(uniform_tree(2, 2), n=4)
+    rep = profiling.op_report(Level(h.finest), reps=2)
+    assert set(rep) == {"interpolate", "apply", "patch_solve", "smooth"}
+    for v in rep.values():
+        assert v["ms"] > 0 and v["roofline_pct"] > 0
+    assert "gnnz_per_s" in rep["apply"]
