@@ -60,6 +60,12 @@ def main():
         coarse_direct_max_dof=int(os.environ.get("PPS_BENCH_COARSE_DOF", "4096")),
         max_levels=int(os.environ.get("PPS_BENCH_MAX_LEVELS", "0")),
         coarse_sweeps=int(os.environ.get("PPS_BENCH_COARSE_SWEEPS", "1")),
+        # FAC active-set relaxation: only the newly-coarsened region of
+        # each coarse level is smoothed (iteration counts unchanged,
+        # docs/PERFORMANCE.md round 2); "full" reproduces the reference's
+        # relax-everywhere behavior
+        fac_smoothing=os.environ.get("PPS_BENCH_FAC", "active"),
+        fac_active_ring=int(os.environ.get("PPS_BENCH_FAC_RING", "1")),
     )
     inner = os.environ.get("PPS_BENCH_INNER", "bicgstab")
     if dtype_name == "float32":

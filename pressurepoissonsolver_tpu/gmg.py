@@ -51,6 +51,17 @@ class CycleOpts:
     # levels, and a stronger coarse correction than smoothing sweeps).
     coarse_direct_max_dof: int = 4096
     coarse_direct: bool = True
+    # FAC active-set relaxation: classical FAC (McCormick) relaxes each
+    # coarse level only on the region it is the finest representation of —
+    # the newly-merged parent patches (+ ``fac_active_ring`` rings of
+    # neighbors for the refinement-boundary error).  Pass-through patches
+    # are identical on the finer level and were just relaxed there; on the
+    # reference's pass-through-heavy meshes they are ~90-95% of every
+    # coarse level, so "active" cuts most of the per-cycle smoothing work.
+    # The reference relaxes everywhere (FFTBlockJacobiSmoother over the
+    # whole level) — "full" reproduces that.
+    fac_smoothing: str = "full"  # "full" | "active"
+    fac_active_ring: int = 1
 
 
 def _axis_matmul(M: jnp.ndarray, x: jnp.ndarray, ax: int) -> jnp.ndarray:
@@ -169,6 +180,19 @@ class Transfer:
                 child_slot[ps, orth[i]] = i
         self._child_slot = jnp.asarray(child_slot)
         self._pt_slot = jnp.asarray(pt_slot)
+        # parent-compact restriction: on pass-through-heavy coarse levels
+        # most child_slot rows are padding — pooling over just the parent
+        # rows and routing back with one row gather skips the padded
+        # matmul work.  Worth the two extra ops only when parents are a
+        # minority and the level is big enough not to be latency-bound.
+        parents = np.where((child_slot < Pf).any(axis=1))[0]
+        self._r_parents = None
+        if Pc >= 256 and len(parents) < Pc // 2:
+            self._r_parents = jnp.asarray(parents)
+            self._r_child_slot = jnp.asarray(child_slot[parents])
+            inv = np.full(Pc, len(parents), dtype=np.int32)  # pad row = zeros
+            inv[parents] = np.arange(len(parents), dtype=np.int32)
+            self._r_inv = jnp.asarray(inv)
         # prolongation: the concat order of (orthant groups..., passthrough)
         # rows, inverted so one row gather re-scatters blocks to fine slots
         order = [np.asarray(fsel) for _, fsel, _ in self._groups]
@@ -207,14 +231,23 @@ class Transfer:
         fine_pad = jnp.concatenate(
             [fine_u, jnp.zeros((1,) + fine_u.shape[1:], dtype=fine_u.dtype)], axis=0
         )
+        # compact form only off-mesh: its row gathers are shard-arbitrary
+        compact = (
+            self._r_parents is not None
+            and getattr(self.coarse, "_psh", None) is None
+        )
+        child_slot = self._r_child_slot if compact else self._child_slot
         assembled = None
         for o in range(1 << D):
-            block = fine_pad[self._child_slot[:, o]]  # [Pc, n, n(, n)]
+            block = fine_pad[child_slot[:, o]]  # [Pc|Pp, n, n(, n)]
             for a in range(D):
                 bit = (o >> a) & 1
                 R = self._wrstr[bit].astype(block.dtype)
                 block = _axis_matmul(R, block, 1 + (D - 1 - a))
             assembled = block if assembled is None else assembled + block
+        if compact:
+            pad = jnp.zeros((1,) + assembled.shape[1:], dtype=assembled.dtype)
+            assembled = jnp.concatenate([assembled, pad], axis=0)[self._r_inv]
         return self.coarse._constrain_p(assembled + fine_pad[self._pt_slot])
 
     def _prolong_block(self, coarse_u: jnp.ndarray, o: int, psel) -> jnp.ndarray:
@@ -249,6 +282,35 @@ class Transfer:
         return self.fine._constrain_p(fine_u + stacked_pad[self._prolong_inv])
 
 
+def _expand_ring(pl, active: np.ndarray, rings: int) -> np.ndarray:
+    """Expand a patch set by ``rings`` rings of face neighbors."""
+    active = active.copy()
+    for _ in range(rings):
+        cur = np.where(active)[0]
+        nbrs = pl.nbr_slot[cur].ravel()
+        fnbrs = pl.fine_nbr_slots[cur].ravel()
+        active[nbrs[nbrs >= 0]] = True
+        active[fnbrs[fnbrs >= 0]] = True
+    return active
+
+
+def _fac_active_mask(transfer: Transfer, ring: int):
+    """Coarse-level patches to relax under FAC active-set smoothing: the
+    parents newly merged from the finer level, expanded by ``ring`` rings
+    of face neighbors (the refinement-boundary zone).  Returns ``None``
+    when every patch is active (mask would be a no-op)."""
+    fine_pl, coarse_pl = transfer.fine.pl, transfer.coarse.pl
+    pslots = parent_slots(fine_pl, coarse_pl)
+    passthrough = fine_pl.orth_on_parent < 0
+    active = np.zeros(coarse_pl.num_patches, dtype=bool)
+    sel = pslots[(~passthrough) & (pslots >= 0)]
+    active[sel] = True
+    active = _expand_ring(coarse_pl, active, ring)
+    if active.all():
+        return None
+    return active
+
+
 class GMGCycle:
     """A V- or W-cycle over a level hierarchy, applied as ``u = M f``.
 
@@ -266,6 +328,36 @@ class GMGCycle:
             levels[-1].P * levels[-1].pl.cells_per_patch <= opts.coarse_direct_max_dof
         ):
             self._build_coarse_direct()
+        # FAC active-set relaxation state, one entry per coarse level:
+        # None = relax all; an ActiveSmoother = subset-compute sweeps; a
+        # mask array = masked-update sweeps (sharded engines, where subset
+        # gathers would cross shards); "skip" = nothing to relax.
+        self._active = [None] * len(levels)
+        self._asmooth = [None] * len(levels)
+        self._aapply = [None] * len(levels)
+        if opts.fac_smoothing == "active":
+            from .ops.level_ops import ActiveSmoother, Level as _L
+
+            for k in range(1, len(levels)):
+                mask = _fac_active_mask(transfers[k - 1], opts.fac_active_ring)
+                if mask is None:
+                    continue
+                if not mask.any():
+                    self._active[k] = "skip"
+                elif isinstance(levels[k], _L) and levels[k].mesh is None:
+                    self._asmooth[k] = ActiveSmoother(levels[k], mask)
+                    self._active[k] = self._asmooth[k]._mask
+                    # residual apply on nbr(active) only: after active-set
+                    # smoothing u vanishes off the active set, so every
+                    # nonzero row of A u lies within one ring of it
+                    self._aapply[k] = ActiveSmoother(
+                        levels[k],
+                        _expand_ring(levels[k].pl, mask, 1),
+                        build_solver=False,
+                    )
+                else:
+                    D = levels[k].D
+                    self._active[k] = jnp.asarray(mask.reshape((-1,) + (1,) * D))
 
     def _build_coarse_direct(self) -> None:
         from .matrix import assemble_composite
@@ -297,24 +389,50 @@ class GMGCycle:
             for _ in range(opts.coarse_sweeps - 1):
                 u = lvl.smooth(f, u)
             return u
-        if opts.pre_sweeps <= 0:
+        mask = self._active[k]
+        if opts.pre_sweeps <= 0 or isinstance(mask, str):  # "skip"
             u = lvl.zeros().astype(f.dtype)
+        elif self._asmooth[k] is not None:
+            u = self._asmooth[k].smooth_zero(f)
+            for _ in range(opts.pre_sweeps - 1):
+                u = self._smooth(k, f, u)
         else:
             u = lvl.smooth_zero(f)
+            if mask is not None:
+                u = jnp.where(mask, u, jnp.zeros((), dtype=u.dtype))
             for _ in range(opts.pre_sweeps - 1):
-                u = lvl.smooth(f, u)
+                u = self._smooth(k, f, u)
         n_recurse = 2 if opts.cycle_type == "W" else 1
         for it in range(n_recurse):
-            r = f - lvl.apply(u)
+            # only on the first pass is u zero off the active set; after a
+            # coarse correction has been prolonged in, it is global
+            if it == 0 and (isinstance(mask, str) or opts.pre_sweeps <= 0):
+                r = f  # u = 0: nothing was relaxed on this level yet
+            elif it == 0 and self._aapply[k] is not None:
+                r = f - self._aapply[k].apply_scattered(u)
+            else:
+                r = f - lvl.apply(u)
             fc = self.transfers[k].restrict(r)
             uc = self._visit(k + 1, fc)
             u = self.transfers[k].prolong_add(uc, u)
             if it + 1 < n_recurse:
                 for _ in range(opts.mid_sweeps):
-                    u = lvl.smooth(f, u)
+                    u = self._smooth(k, f, u)
         for _ in range(opts.post_sweeps):
-            u = lvl.smooth(f, u)
+            u = self._smooth(k, f, u)
         return u
+
+    def _smooth(self, k: int, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """One block-Jacobi sweep on level ``k``; under FAC active-set
+        smoothing only the active patches are updated."""
+        if self._asmooth[k] is not None:
+            return self._asmooth[k].smooth(f, u)
+        mask = self._active[k]
+        if mask is None:
+            return self.levels[k].smooth(f, u)
+        if isinstance(mask, str):  # "skip": nothing to relax on this level
+            return u
+        return jnp.where(mask, self.levels[k].smooth(f, u), u)
 
 
 def build_gmg(

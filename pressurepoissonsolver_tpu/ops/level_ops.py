@@ -71,6 +71,219 @@ class _SolveGroup:
     pin_dc: bool  # all-Neumann nullspace pin (FftwPatchSolver.h:197)
 
 
+@dataclass
+class _SolverTables:
+    """Spectral patch-solve data for a (subset of a) level, BC-sorted."""
+
+    perm: jnp.ndarray
+    inv_perm: jnp.ndarray
+    identity_perm: bool
+    denom_sorted: jnp.ndarray  # [Ps, *ns]
+    groups: List[_SolveGroup]
+    tmats: dict  # transform kind -> [n, n] matrix
+
+
+def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray) -> _SolverTables:
+    """BC-grouped spectral solver tables for patch slots ``slots`` (the
+    reference's plan cache keyed on (neumann bits, h),
+    ``FftwPatchSolver.h:33-47``, generalized to an arbitrary patch subset
+    for the FAC active-set smoother)."""
+    D, n = pl.D, pl.n
+    Ps = len(slots)
+    keys = []
+    for p in slots:
+        keys.append(tuple(
+            tr.axis_transforms(bool(pl.neumann[p, 2 * a]), bool(pl.neumann[p, 2 * a + 1]))[:2]
+            for a in range(D)
+        ))
+    order = sorted(range(Ps), key=lambda i: (keys[i], i))
+    perm = np.array(order, dtype=np.int64)
+    inv_perm = np.empty(Ps, dtype=np.int64)
+    inv_perm[perm] = np.arange(Ps)
+
+    denom = np.zeros((Ps,) + pl.ns_shape)
+    for i, si in enumerate(order):
+        p = slots[si]
+        acc = np.zeros(pl.ns_shape)
+        for a in range(D):
+            delta = tr.axis_transforms(
+                bool(pl.neumann[p, 2 * a]), bool(pl.neumann[p, 2 * a + 1])
+            )[2]
+            lam = tr.axis_eigenvalues(n, float(pl.spacings[p, a]), delta)
+            shape = [1] * D
+            shape[D - 1 - a] = n
+            acc = acc + lam.reshape(shape)
+        denom[i] = acc
+
+    groups: List[_SolveGroup] = []
+    start = 0
+    while start < Ps:
+        stop = start
+        k = keys[order[start]]
+        while stop < Ps and keys[order[stop]] == k:
+            stop += 1
+        all_neu = bool(np.all(pl.neumann[slots[order[start]]]))
+        groups.append(_SolveGroup(
+            start=start, stop=stop,
+            fwd_kinds=tuple(kk[0] for kk in k),
+            inv_kinds=tuple(kk[1] for kk in k),
+            pin_dc=all_neu,
+        ))
+        start = stop
+    kinds_used = sorted({kk for g in groups for kk in g.fwd_kinds + g.inv_kinds})
+    tmats = {
+        kk: jnp.asarray(tr.transform_matrix(kk, n)).astype(dtype)
+        for kk in kinds_used
+    }
+    return _SolverTables(
+        perm=jnp.asarray(perm),
+        inv_perm=jnp.asarray(inv_perm),
+        identity_perm=bool(np.all(perm == np.arange(Ps))),
+        denom_sorted=jnp.asarray(denom).astype(dtype),
+        groups=groups,
+        tmats=tmats,
+    )
+
+
+def _star_stencil(
+    u: jnp.ndarray,
+    gf: jnp.ndarray,
+    ghost_coef: jnp.ndarray,
+    h2inv: jnp.ndarray,
+    D: int,
+    n: int,
+) -> jnp.ndarray:
+    """Batched star-stencil apply with explicit face traces ``gf[P, 2D, m]``
+    and per-patch ghost closures (``StarPatchOp.h:28-184``)."""
+    P = u.shape[0]
+    face_shape = (P,) + (n,) * (D - 1)
+    out = jnp.zeros_like(u)
+    for a in range(D):
+        ax = _arr_axis(D, a)
+        u_lo = jnp.take(u, 0, axis=ax)
+        u_hi = jnp.take(u, n - 1, axis=ax)
+        c_lo = ghost_coef[:, 2 * a].reshape((P,) + (1,) * (D - 1))
+        c_hi = ghost_coef[:, 2 * a + 1].reshape((P,) + (1,) * (D - 1))
+        ghost_lo = c_lo * u_lo + 2.0 * gf[:, 2 * a].reshape(face_shape)
+        ghost_hi = c_hi * u_hi + 2.0 * gf[:, 2 * a + 1].reshape(face_shape)
+        lo = jnp.concatenate(
+            [jnp.expand_dims(ghost_lo, ax), jax.lax.slice_in_dim(u, 0, n - 1, axis=ax)],
+            axis=ax,
+        )
+        hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(u, 1, n, axis=ax), jnp.expand_dims(ghost_hi, ax)],
+            axis=ax,
+        )
+        h2i = h2inv[:, a].reshape((P,) + (1,) * D)
+        out = out + (lo - 2.0 * u + hi) * h2i
+    return out
+
+
+@dataclass
+class _ContribPipeline:
+    """Case-sorted trace-interpolation pipeline over (a subset of) the
+    interfaces: scalar-prefix contributions apply as one elementwise
+    multiply, the matmul remainder as one batched contraction, and the
+    interface reduction as one padded row gather + sum."""
+
+    c_patch: jnp.ndarray  # [C] contributing patch slot (sorted order)
+    c_side: jnp.ndarray  # [C] face row of the contribution
+    n_scalar: int  # contributions 0..n_scalar use identity-scaled templates
+    w_scalar: jnp.ndarray  # [n_scalar, 1] the scalings
+    T_rows: jnp.ndarray  # [C - n_scalar, m, m] per-row matmul templates
+    iface_gather: jnp.ndarray  # [NIf, K] contribution rows per interface
+
+    def interpolate(self, faces: jnp.ndarray, m: int) -> jnp.ndarray:
+        """gamma[NIf, m] from per-patch face traces [P, 2D*depth, m]."""
+        g = faces[self.c_patch, self.c_side]  # [C, m], scalars first
+        C, Cs = g.shape[0], self.n_scalar
+        parts = []
+        if Cs > 0:
+            # identity-scaled templates (normal/c2c — the bulk): one
+            # elementwise multiply, exact at any precision
+            parts.append(
+                jax.lax.slice_in_dim(g, 0, Cs, axis=0)
+                * self.w_scalar.astype(g.dtype)
+            )
+        if Cs < C:
+            # refinement-boundary cases: one batched contraction with
+            # per-row templates, in true-f32 (the default bf16 MXU passes
+            # cost ~3 digits, which the 2/h^2 ghost closure amplifies into
+            # O(1e-3) operator error — fatal for f32 Krylov)
+            rows = jax.lax.slice_in_dim(g, Cs, C, axis=0)
+            parts.append(
+                jnp.einsum(
+                    "rj,rij->ri",
+                    rows,
+                    self.T_rows.astype(g.dtype),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+        vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        vals_padded = jnp.concatenate(
+            [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
+        )
+        return jnp.sum(vals_padded[self.iface_gather], axis=1)
+
+
+def _build_contrib_pipeline(
+    contrib_patch: np.ndarray,
+    contrib_side: np.ndarray,
+    contrib_case: np.ndarray,
+    contrib_iface: np.ndarray,
+    num_ifaces: int,
+    case_T: np.ndarray,
+    case_scalar: list,
+    dtype,
+) -> _ContribPipeline:
+    C = len(contrib_patch)
+    is_mm = np.array([case_scalar[int(k)] is None for k in contrib_case], dtype=bool)
+    order = np.lexsort((np.arange(C), contrib_case, is_mm))
+    cs = contrib_case[order]
+    n_scalar = int((~is_mm).sum())
+    w_row = np.array([case_scalar[int(k)] for k in cs[:n_scalar]], dtype=np.float64)
+    # per-interface gather of its (sorted-order) contribution rows
+    by_iface = [[] for _ in range(num_ifaces)]
+    sorted_iface = contrib_iface[order]
+    for c in range(C):
+        by_iface[int(sorted_iface[c])].append(c)
+    K_if = max((len(v) for v in by_iface), default=1)
+    gather_tbl = np.full((num_ifaces, K_if), C, dtype=np.int32)  # C = zero row
+    for i, v in enumerate(by_iface):
+        gather_tbl[i, : len(v)] = v
+    f = jnp.asarray
+    return _ContribPipeline(
+        c_patch=f(contrib_patch[order]),
+        c_side=f(contrib_side[order]),
+        n_scalar=n_scalar,
+        w_scalar=f(w_row.reshape(-1, 1)).astype(dtype),
+        T_rows=f(case_T[cs[n_scalar:]]).astype(dtype),
+        iface_gather=f(gather_tbl),
+    )
+
+
+def _spectral_apply(st: _SolverTables, fc: jnp.ndarray, D: int, n: int) -> jnp.ndarray:
+    """Batched spectral patch solves with the tables ``st`` (the jittable
+    core of ``Level._spectral_solve``)."""
+    fs = fc if st.identity_perm else fc[st.perm]
+    parts = []
+    scale = (2.0 / n) ** D
+    for g in st.groups:
+        x = jax.lax.slice_in_dim(fs, g.start, g.stop, axis=0)
+        dn = jax.lax.slice_in_dim(st.denom_sorted, g.start, g.stop, axis=0)
+        for a in range(D):
+            x = Level._apply_transform(st.tmats[g.fwd_kinds[a]], x, _arr_axis(D, a))
+        x = x / dn
+        if g.pin_dc:
+            zero_idx = (slice(None),) + (0,) * D
+            x = x.at[zero_idx].set(0.0)
+        for a in range(D):
+            x = Level._apply_transform(st.tmats[g.inv_kinds[a]], x, _arr_axis(D, a))
+        parts.append(x * scale)
+    us = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return us if st.identity_perm else us[st.inv_perm]
+
+
 class Level:
     """Device tables + jitted core ops for one refinement level."""
 
@@ -141,31 +354,10 @@ class Level:
         # and the matmul remainder in ONE batched contraction with
         # per-row-gathered templates — two ops replacing ~#cases
         # slices+matmuls (in-graph op latency is a first-order cost)
-        is_mm = np.array(
-            [self._case_scalar[int(k)] is None for k in t.contrib_case],
-            dtype=bool,
+        self._pipe = _build_contrib_pipeline(
+            t.contrib_patch, t.contrib_side, t.contrib_case, t.contrib_iface,
+            t.num_ifaces, case_T, self._case_scalar, dtype,
         )
-        order = np.lexsort((np.arange(C), t.contrib_case, is_mm))
-        self._c_patch_sorted = f(t.contrib_patch[order])
-        self._c_side_sorted = f(t.contrib_side[order])
-        cs = t.contrib_case[order]
-        self._n_scalar = int((~is_mm).sum())
-        w_row = np.array(
-            [self._case_scalar[int(k)] for k in cs[: self._n_scalar]]
-        )
-        self._w_scalar = f(w_row.reshape(-1, 1)).astype(dtype)
-        self._T_rows = f(case_T[cs[self._n_scalar:]]).astype(dtype)  # [Cm,m,m]
-
-        # per-interface gather of its (sorted-order) contribution rows
-        by_iface = [[] for _ in range(t.num_ifaces)]
-        sorted_iface = t.contrib_iface[order]
-        for c in range(C):
-            by_iface[int(sorted_iface[c])].append(c)
-        K_if = max((len(v) for v in by_iface), default=1)
-        gather_tbl = np.full((t.num_ifaces, K_if), C, dtype=np.int32)  # C = zero row
-        for i, v in enumerate(by_iface):
-            gather_tbl[i, : len(v)] = v
-        self._iface_gather = f(gather_tbl)
 
         # stencil coefficients
         h2inv = (1.0 / patch_level.spacings**2).astype(np.float64)
@@ -213,66 +405,26 @@ class Level:
     # -- patch-solver grouping ---------------------------------------------
 
     def _build_solver_groups(self) -> None:
-        pl, D, n = self.pl, self.D, self.n
-        P = self.P
-        keys = []
-        for p in range(P):
-            key = tuple(
-                tr.axis_transforms(bool(pl.neumann[p, 2 * a]), bool(pl.neumann[p, 2 * a + 1]))[:2]
-                for a in range(D)
-            )
-            keys.append(key)
-        order = sorted(range(P), key=lambda p: (keys[p], p))
-        perm = np.array(order, dtype=np.int64)
-        inv_perm = np.empty(P, dtype=np.int64)
-        inv_perm[perm] = np.arange(P)
-        self._solver_perm = jnp.asarray(perm)
-        self._solver_inv_perm = jnp.asarray(inv_perm)
-        self._solver_identity_perm = bool(np.all(perm == np.arange(P)))
-
-        # eigen denominators in SORTED order, [P, *ns]
-        denom = np.zeros((P,) + pl.ns_shape)
-        for i, p in enumerate(order):
-            acc = np.zeros(pl.ns_shape)
-            for a in range(D):
-                delta = tr.axis_transforms(
-                    bool(pl.neumann[p, 2 * a]), bool(pl.neumann[p, 2 * a + 1])
-                )[2]
-                lam = tr.axis_eigenvalues(n, float(pl.spacings[p, a]), delta)
-                shape = [1] * D
-                shape[D - 1 - a] = n
-                acc = acc + lam.reshape(shape)
-            denom[i] = acc
-        self._denom_sorted = jnp.asarray(denom).astype(self.dtype)
-
-        groups: List[_SolveGroup] = []
-        start = 0
-        while start < P:
-            stop = start
-            k = keys[order[start]]
-            while stop < P and keys[order[stop]] == k:
-                stop += 1
-            all_neu = bool(
-                np.all(pl.neumann[order[start]])
-            )  # key all-(DCT_II,DCT_III) <=> every side Neumann
-            groups.append(
-                _SolveGroup(
-                    start=start,
-                    stop=stop,
-                    fwd_kinds=tuple(kk[0] for kk in k),
-                    inv_kinds=tuple(kk[1] for kk in k),
-                    pin_dc=all_neu,
-                )
-            )
-            start = stop
-        self._solve_groups = groups
-        kinds_used = sorted(
-            {kk for g in groups for kk in g.fwd_kinds + g.inv_kinds}
+        self._st = _build_solver_tables(
+            self.pl, self.dtype, np.arange(self.P, dtype=np.int64)
         )
-        self._tmats = {
-            kk: jnp.asarray(tr.transform_matrix(kk, n)).astype(self.dtype)
-            for kk in kinds_used
-        }
+
+    # solver-table views (the halo engine re-blocks these per shard)
+    @property
+    def _solve_groups(self):
+        return self._st.groups
+
+    @property
+    def _tmats(self):
+        return self._st.tmats
+
+    @property
+    def _denom_sorted(self):
+        return self._st.denom_sorted
+
+    @property
+    def _solver_inv_perm(self):
+        return self._st.inv_perm
 
     # -- core linear maps ---------------------------------------------------
 
@@ -281,36 +433,7 @@ class Level:
         if self.num_ifaces == 0:  # single isolated patch (coarsest level)
             return jnp.zeros((0, self.m), dtype=u.dtype)
         faces = extract_faces(u, self.D, self.n, self.face_depth)  # [P, 2D*depth, m]
-        g = faces[self._c_patch_sorted, self._c_side_sorted]  # [C, m], scalars first
-        C, Cs = g.shape[0], self._n_scalar
-        parts = []
-        if Cs > 0:
-            # identity-scaled templates (normal/c2c — the bulk): one
-            # elementwise multiply, exact at any precision
-            parts.append(
-                jax.lax.slice_in_dim(g, 0, Cs, axis=0)
-                * self._w_scalar.astype(u.dtype)
-            )
-        if Cs < C:
-            # refinement-boundary cases: one batched contraction with
-            # per-row templates, in true-f32 (the default bf16 MXU passes
-            # cost ~3 digits, which the 2/h^2 ghost closure amplifies into
-            # O(1e-3) operator error — fatal for f32 Krylov)
-            rows = jax.lax.slice_in_dim(g, Cs, C, axis=0)
-            parts.append(
-                jnp.einsum(
-                    "rj,rij->ri",
-                    rows,
-                    self._T_rows.astype(u.dtype),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            )
-        vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        # gather-form reduction onto interfaces (row C is the zero pad)
-        vals_padded = jnp.concatenate(
-            [vals, jnp.zeros((1, self.m), dtype=vals.dtype)], axis=0
-        )
-        return self._constrain_g(jnp.sum(vals_padded[self._iface_gather], axis=1))
+        return self._constrain_g(self._pipe.interpolate(faces, self.m))
 
     def gamma_faces(self, gamma: jnp.ndarray) -> jnp.ndarray:
         """Per-patch-side interface traces ``[P, 2D, m]`` (zero where no nbr)."""
@@ -329,27 +452,9 @@ class Level:
         return self._stencil_with_faces(u, self.gamma_faces(gamma))
 
     def _stencil_with_faces(self, u: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
-        D, n = self.D, self.n
-        out = jnp.zeros_like(u)
-        for a in range(D):
-            ax = _arr_axis(D, a)
-            u_lo = jnp.take(u, 0, axis=ax)
-            u_hi = jnp.take(u, n - 1, axis=ax)
-            c_lo = self.ghost_coef[:, 2 * a].reshape((self.P,) + (1,) * (D - 1))
-            c_hi = self.ghost_coef[:, 2 * a + 1].reshape((self.P,) + (1,) * (D - 1))
-            ghost_lo = c_lo * u_lo + 2.0 * self._face_shaped(gf[:, 2 * a])
-            ghost_hi = c_hi * u_hi + 2.0 * self._face_shaped(gf[:, 2 * a + 1])
-            lo = jnp.concatenate(
-                [jnp.expand_dims(ghost_lo, ax), jax.lax.slice_in_dim(u, 0, n - 1, axis=ax)],
-                axis=ax,
-            )
-            hi = jnp.concatenate(
-                [jax.lax.slice_in_dim(u, 1, n, axis=ax), jnp.expand_dims(ghost_hi, ax)],
-                axis=ax,
-            )
-            h2i = self.h2inv[:, a].reshape((self.P,) + (1,) * D)
-            out = out + (lo - 2.0 * u + hi) * h2i
-        return self._constrain_p(out)
+        return self._constrain_p(
+            _star_stencil(u, gf, self.ghost_coef, self.h2inv, self.D, self.n)
+        )
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         """Composite-grid operator ``A u`` (``SchurHelper.h:360-376``)."""
@@ -408,25 +513,7 @@ class Level:
         return self._spectral_solve(fc)
 
     def _spectral_solve(self, fc: jnp.ndarray) -> jnp.ndarray:
-        D, n = self.D, self.n
-        fs = fc if self._solver_identity_perm else fc[self._solver_perm]
-        parts = []
-        scale = (2.0 / n) ** D
-        for g in self._solve_groups:
-            x = jax.lax.slice_in_dim(fs, g.start, g.stop, axis=0)
-            dn = jax.lax.slice_in_dim(self._denom_sorted, g.start, g.stop, axis=0)
-            for a in range(D):
-                x = self._apply_transform(self._tmats[g.fwd_kinds[a]], x, _arr_axis(D, a))
-            x = x / dn
-            if g.pin_dc:
-                zero_idx = (slice(None),) + (0,) * D
-                x = x.at[zero_idx].set(0.0)
-            for a in range(D):
-                x = self._apply_transform(self._tmats[g.inv_kinds[a]], x, _arr_axis(D, a))
-            parts.append(x * scale)
-        us = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        us = us if self._solver_identity_perm else us[self._solver_inv_perm]
-        return self._constrain_p(us)
+        return self._constrain_p(_spectral_apply(self._st, fc, self.D, self.n))
 
     def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         """One FFT block-Jacobi sweep (``SchurHelper::solveWithSolution``)."""
@@ -460,3 +547,145 @@ class Level:
 
     def zeros(self) -> jnp.ndarray:
         return jnp.zeros((self.P,) + self.pl.ns_shape, dtype=self.dtype)
+
+
+class ActiveSmoother:
+    """FAC active-set block-Jacobi smoother, subset-compute form.
+
+    One sweep replaces the iterate on a static subset of patches with their
+    exact patch solves (traces interpolated from the full current iterate);
+    every other patch is left untouched.  Only the interfaces adjacent to
+    active patches are interpolated and only active patches are solved, so
+    a sweep costs O(active) instead of O(level).
+
+    This is the classical-FAC relaxation (each level relaxes only the
+    region it is the finest representation of); the reference instead
+    relaxes every patch of every level
+    (``GMG/FFTBlockJacobiSmoother.h:31-59``) — on its pass-through-heavy
+    FAC hierarchies ~90-95% of that work re-relaxes patches that are
+    bit-identical on the finer level.  Measured: iteration counts are
+    unchanged (docs/PERFORMANCE.md round 2).
+    """
+
+    def __init__(self, level: Level, active: np.ndarray, build_solver: bool = True):
+        self.level = level
+        D, n, m = level.D, level.n, level.m
+        self.D, self.n, self.m = D, n, m
+        P = level.P
+        act = np.where(np.asarray(active))[0]
+        self.act = act
+        self.Pa = len(act)
+        f = jnp.asarray
+        self._act = f(act)
+        self._mask = f(np.asarray(active).reshape((P,) + (1,) * D))
+        inv = np.full(P, self.Pa, dtype=np.int32)  # pad row = untouched
+        inv[act] = np.arange(self.Pa, dtype=np.int32)
+        self._inv = f(inv)
+
+        t = level.tables
+        # interfaces the active patches read: remap to a compact range
+        ii = np.asarray(t.iface_side_idx)[act]  # [Pa, 2D]
+        mm = np.asarray(t.iface_side_mask)[act] > 0
+        needed = np.unique(ii[mm]) if mm.any() else np.zeros(0, dtype=np.int64)
+        self.num_sub_ifaces = len(needed)
+        remap = np.full(max(t.num_ifaces, 1), -1, dtype=np.int64)
+        remap[needed] = np.arange(len(needed))
+        self._g_idx = f(np.clip(remap[ii], 0, None))
+        self._g_mask = f(np.asarray(t.iface_side_mask)[act]).astype(level.dtype)
+
+        # reduced contribution pipeline: only contributions that land on a
+        # needed interface, sourcing faces from just the contributing
+        # patches (active + their face neighbors)
+        keep = remap[t.contrib_iface] >= 0
+        cp = t.contrib_patch[keep]
+        src = np.unique(cp) if len(cp) else np.zeros(0, dtype=np.int64)
+        src_remap = np.full(P, -1, dtype=np.int64)
+        src_remap[src] = np.arange(len(src))
+        self._src = f(src)
+        case_T = np.asarray(level._case_T, dtype=np.float64)
+        self._pipe = _build_contrib_pipeline(
+            src_remap[cp],
+            t.contrib_side[keep],
+            t.contrib_case[keep],
+            remap[t.contrib_iface[keep]],
+            self.num_sub_ifaces,
+            case_T,
+            level._case_scalar,
+            level.dtype,
+        )
+
+        self._st = (
+            _build_solver_tables(level.pl, level.dtype, act) if build_solver else None
+        )
+        self._h2inv_act = f(np.asarray(level.h2inv)[act])
+        self._ghost_act = f(np.asarray(level.ghost_coef)[act])
+
+    def _gamma_faces(self, u: jnp.ndarray) -> jnp.ndarray:
+        """[Pa, 2D, m] interface traces at the active patches' faces,
+        interpolated from the full iterate via the reduced pipeline."""
+        lvl = self.level
+        faces = extract_faces(u[self._src], self.D, self.n, lvl.face_depth)
+        gamma = self._pipe.interpolate(faces, self.m)  # [NIsub, m]
+        return gamma[self._g_idx] * self._g_mask.astype(u.dtype)[..., None]
+
+    def _fold(self, fc: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
+        """``f -= 2/h^2 gamma`` on active patches' neighbored faces
+        (``StarPatchOp::addInterfaceToRHS``)."""
+        D, n, Pa = self.D, self.n, self.Pa
+        face_shape = (Pa,) + (n,) * (D - 1)
+        for a in range(D):
+            ax = _arr_axis(D, a)
+            h2i = self._h2inv_act[:, a].astype(fc.dtype).reshape(
+                (Pa,) + (1,) * (D - 1)
+            )
+            idx_lo = tuple(
+                [slice(None)] * ax + [0] + [slice(None)] * (D - (ax - 1) - 1)
+            )
+            idx_hi = tuple(
+                [slice(None)] * ax + [n - 1] + [slice(None)] * (D - (ax - 1) - 1)
+            )
+            fc = fc.at[idx_lo].add(-2.0 * h2i * gf[:, 2 * a].reshape(face_shape))
+            fc = fc.at[idx_hi].add(-2.0 * h2i * gf[:, 2 * a + 1].reshape(face_shape))
+        return fc
+
+    def _scatter(self, sol: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+        """Route the active solves back to their level slots (row gather —
+        no device scatter), leaving ``base`` elsewhere."""
+        pad = jnp.zeros((1,) + sol.shape[1:], dtype=sol.dtype)
+        sol_pad = jnp.concatenate([sol, pad], axis=0)
+        return jnp.where(self._mask, sol_pad[self._inv], base)
+
+    def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        fa = f[self._act]
+        if self.num_sub_ifaces:
+            fa = self._fold(fa, self._gamma_faces(u))
+        sol = _spectral_apply(self._st, fa, self.D, self.n)
+        return self._scatter(sol, u)
+
+    def smooth_zero(self, f: jnp.ndarray) -> jnp.ndarray:
+        """``smooth(f, 0)`` — traces vanish, so just the subset solves."""
+        sol = _spectral_apply(self._st, f[self._act], self.D, self.n)
+        return self._scatter(sol, jnp.zeros((), dtype=f.dtype))
+
+    def apply_scattered(self, u: jnp.ndarray) -> jnp.ndarray:
+        """``A u`` scattered into a zero field, computed on the subset only.
+
+        Exact for the full composite operator whenever ``u`` vanishes
+        outside a set A with nbr(A) ⊆ this subset: every nonzero row of
+        ``A u`` is then in the subset.  Used for the FAC coarse-level
+        residual ``r = f − A u`` after active-set pre-smoothing, where
+        ``u`` is nonzero only on the active patches."""
+        gf = (
+            self._gamma_faces(u)
+            if self.num_sub_ifaces
+            else jnp.zeros((self.Pa, 2 * self.D, self.m), dtype=u.dtype)
+        )
+        out = _star_stencil(
+            u[self._act],
+            gf,
+            self._ghost_act.astype(u.dtype),
+            self._h2inv_act.astype(u.dtype),
+            self.D,
+            self.n,
+        )
+        return self._scatter(out, jnp.zeros((), dtype=u.dtype))

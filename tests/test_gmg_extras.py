@@ -104,3 +104,58 @@ def test_3d_transfers_preserve_constant_and_integral():
         np.testing.assert_allclose(
             float(coarse.integrate(rc)), float(fine.integrate(uf)), rtol=1e-12
         )
+
+
+# ---- FAC active-set relaxation ---------------------------------------------
+
+
+def test_active_smoother_matches_masked_full_sweep():
+    """ActiveSmoother (subset-compute) == Level.smooth masked to the
+    active set, exactly — the reduced interface pipeline and subset
+    spectral solves must reproduce the full ops patch-for-patch."""
+    from pressurepoissonsolver_tpu.gmg import _fac_active_mask
+    from pressurepoissonsolver_tpu.ops.level_ops import ActiveSmoother
+
+    t = refined_tree(2, 3, 1)
+    h = DomainHierarchy(t, n=8)
+    fine, coarse = Level(h[0]), Level(h[1])
+    tr = Transfer(fine, coarse)
+    mask = _fac_active_mask(tr, ring=1)
+    assert mask is not None and 0 < mask.sum() < coarse.P
+    asm = ActiveSmoother(coarse, mask)
+
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.standard_normal((coarse.P,) + coarse.pl.ns_shape))
+    u = jnp.asarray(rng.standard_normal((coarse.P,) + coarse.pl.ns_shape))
+
+    full = np.asarray(coarse.smooth(f, u))
+    got = np.asarray(asm.smooth(f, u))
+    np.testing.assert_allclose(got[mask], full[mask], rtol=1e-12, atol=1e-13)
+    np.testing.assert_array_equal(got[~mask], np.asarray(u)[~mask])
+
+    full0 = np.asarray(coarse.smooth_zero(f))
+    got0 = np.asarray(asm.smooth_zero(f))
+    np.testing.assert_allclose(got0[mask], full0[mask], rtol=1e-12, atol=1e-13)
+    np.testing.assert_array_equal(got0[~mask], 0.0)
+
+
+def test_fac_active_solve_converges_like_full():
+    """The FAC active-set cycle preconditions as well as relax-everywhere:
+    same iteration count on an adaptive solve (measured equal on the bench
+    mesh too, docs/PERFORMANCE.md round 2)."""
+    t = refined_tree(2, 4, 2)
+    h = DomainHierarchy(t, n=8)
+    f_np, exact = init_problem(h.finest, get_problem("trig", 2))
+    iters = {}
+    for mode in ("full", "active"):
+        opts = SolveOptions(
+            tol=1e-10,
+            gmg=CycleOpts(pre_sweeps=2, post_sweeps=1, fac_smoothing=mode),
+        )
+        s = PoissonSolver(h, opts)
+        res = s.solve(jnp.asarray(f_np), max_iter=60)
+        iters[mode] = int(res.iterations)
+        assert iters[mode] < 60
+        rep = s.report(res.x, jnp.asarray(f_np), jnp.asarray(exact))
+        assert rep["residual"] < 1e-9
+    assert iters["active"] <= iters["full"] + 2
