@@ -26,6 +26,12 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# The session sitecustomize registers the axon TPU plugin and overrides the
+# JAX_PLATFORMS env var; honor an explicit CPU request (virtual-device
+# sharding tests / multi-process gloo runs) regardless.
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    _jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: TPU compiles of the unrolled multigrid
 # cycle are expensive (minutes); cache them across processes.  CPU runs
 # skip it — XLA:CPU AOT artifacts are machine-feature specific.

@@ -325,7 +325,7 @@ def main(D: int, argv=None) -> int:
             # recover u from the converged interface values — the section the
             # reference times as "Patch Solve" (apps/3d/steady.cpp:433-439)
             timer.start("Patch Solve")
-            u = solver.fine_level.patch_solve(f, res.x)
+            u = solver._op.patch_solve(f, res.x)
             u.block_until_ready()
             timer.stop("Patch Solve")
             iter_line = f"Iterations: {int(res.iterations)}"

@@ -277,11 +277,14 @@ def assemble_schur(level) -> sp.csr_matrix:
     return (sp.identity(NIf * m, format="csr") - S_mat).tocsr()
 
 
-def schur_block_jacobi(level, A_S: sp.csr_matrix = None):
+def schur_block_jacobi(level, A_S: sp.csr_matrix = None, engine=None):
     """Block-Jacobi preconditioner for the interface system: inverts the
     m×m diagonal blocks of ``I - S`` (the reference's ``PBMatrix``
     ``getDiagInv`` + ``BlockJacobiSmoother``,
-    ``Experimental/PBMatrix.cpp``)."""
+    ``Experimental/PBMatrix.cpp``).
+
+    ``engine`` (optional): a halo ``ShardedLevel`` — the inverse blocks are
+    then laid out in its owner-sharded gamma layout."""
     import jax.numpy as jnp
 
     if A_S is None:
@@ -295,6 +298,13 @@ def schur_block_jacobi(level, A_S: sp.csr_matrix = None):
     for r, c, x in zip(ri[same], ci[same], v[same]):
         blocks[r // m, r % m, c % m] += x
     binv = np.linalg.inv(blocks)
+    if engine is not None and hasattr(engine, "_owned_ids"):
+        NOg = max(engine.NOg, 1)
+        arr = np.tile(np.eye(m), (engine.ndev * NOg, 1, 1))
+        for r, ids in enumerate(engine._owned_ids):
+            for k, i in enumerate(ids):
+                arr[r * NOg + k] = binv[i]
+        binv = arr
     binv_j = jnp.asarray(binv, dtype=level.dtype)
 
     def M(gamma):

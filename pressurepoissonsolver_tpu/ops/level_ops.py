@@ -533,6 +533,18 @@ class Level:
         """Patch solves with explicit interface values (Schur path)."""
         return self.patch_solve(f, gamma)
 
+    def gamma_zeros(self, dtype=None) -> jnp.ndarray:
+        """Zero interface vector in this engine's gamma layout."""
+        return self._constrain_g(
+            jnp.zeros((self.num_ifaces, self.m), dtype=dtype or self.dtype)
+        )
+
+    def schur_S(self, gamma: jnp.ndarray) -> jnp.ndarray:
+        """Matrix-free Schur operator ``S gamma = interp(patch_solve(0, g))``
+        (``SchurWrapOp.h:47-53``)."""
+        zf = jnp.zeros((self.P,) + self.pl.ns_shape, dtype=gamma.dtype)
+        return self.interpolate(self.patch_solve(zf, gamma))
+
     # -- reductions ---------------------------------------------------------
 
     def integrate(self, u: jnp.ndarray) -> jnp.ndarray:

@@ -205,6 +205,50 @@ class ShardedLevel:
         NIg = max((len(lst) for lst in need), default=0)
         self.NIg = NIg
 
+        # ---- Schur gamma-vector sharding (interface ownership) ------------
+        # The Schur path iterates on the interface vector itself, so gamma
+        # gets a first-class sharded layout: owner = lowest reader shard
+        # (the TPU analog of the reference's lower-side-patch ownership,
+        # ``SchurInfo.h:141-150``); the global vector is ``[ndev*NOg, m]``
+        # with shard r's owned interfaces in block r (zero-padded).
+        owner = {i: min(rs) for i, rs in readers.items()}
+        owned: List[List[int]] = [
+            [i for i in need[r] if owner[i] == r] for r in range(ndev)
+        ]
+        self._owned_ids = owned
+        self.NOg = max((len(o) for o in owned), default=0)
+        NOg = max(self.NOg, 1)
+        own_pos = np.full((ndev, NOg), max(NIg, 1), dtype=np.int32)  # pad row
+        gslot: Dict[int, int] = {}
+        for r in range(ndev):
+            for k, i in enumerate(owned[r]):
+                own_pos[r, k] = loc_of[r][i]
+                gslot[i] = k
+        self._own_pos = jnp.asarray(own_pos)
+        # exchange of owned gamma rows to their remote readers
+        gsends: Dict[Tuple[int, int], List[int]] = {}
+        for i, rs in sorted(readers.items()):
+            q = owner[i]
+            for r in rs:
+                if r != q:
+                    gsends.setdefault((q, r), []).append(gslot[i])
+        for v in gsends.values():
+            v.sort()
+        self.ex_gamma = Exchange(ndev, NOg, gsends)
+        # per-patch-side position in the gamma exchange buffer
+        gifidx = np.full((ndev, Pl, S2), self.ex_gamma.buf_rows, dtype=np.int32)
+        for p in range(Pg):
+            r = int(shard_of[p])
+            for s in range(S2):
+                if t.iface_side_mask[p, s]:
+                    i = int(t.iface_side_idx[p, s])
+                    q = owner[i]
+                    gifidx[r, p - r * Pl, s] = (
+                        gslot[i] if q == r
+                        else self.ex_gamma.recv_index(r, q, gslot[i])
+                    )
+        self._gifidx = jnp.asarray(gifidx)
+
         # per shard, per case: contribution entries (src buffer row, iface)
         percase: List[List[List[Tuple[int, int]]]] = [
             [[] for _ in range(ncase)] for _ in range(ndev)
@@ -306,8 +350,9 @@ class ShardedLevel:
 
     # -- inside-shard pieces -------------------------------------------------
 
-    def _gamma_faces_local(self, u_loc, me):
-        """Exchange cut faces and compute this shard's gf [Pl, 2D, m]."""
+    def _interp_local(self, u_loc, me):
+        """Exchange cut faces and compute this shard's needed interface
+        values, zero-padded: ``[NIg+1, m]`` (last row = zero)."""
         lvl = self.base
         D, n, m = self.D, self.n, self.m
         faces = extract_faces(u_loc, D, n, self.face_depth).reshape(-1, m)
@@ -332,10 +377,21 @@ class ShardedLevel:
             [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
         )
         gamma = jnp.sum(vals_pad[self._gath[me]], axis=1)  # [NIg(,1), m]
-        gamma_pad = jnp.concatenate(
+        return jnp.concatenate(
             [gamma, jnp.zeros((1, m), dtype=gamma.dtype)], axis=0
         )
+
+    def _gamma_faces_local(self, u_loc, me):
+        """Exchange cut faces and compute this shard's gf [Pl, 2D, m]."""
+        gamma_pad = self._interp_local(u_loc, me)
         gf = gamma_pad[self._ifidx[me]]  # [Pl, 2D, m]
+        return gf * self._imask[me][..., None].astype(gf.dtype)
+
+    def _gf_from_gamma_local(self, g_loc, me):
+        """gf [Pl, 2D, m] from this shard's owned-gamma block (exchanging
+        remote-owned rows point-to-point)."""
+        buf = self.ex_gamma.run(g_loc, me)
+        gf = buf[self._gifidx[me]]
         return gf * self._imask[me][..., None].astype(gf.dtype)
 
     def _stencil_local(self, u_loc, gf, h2inv, coef):
@@ -492,6 +548,94 @@ class ShardedLevel:
 
         return self._smap("smooth0_mg", g, 4)(
             f, self._denom.astype(f.dtype), self._tidx, self._pinmask
+        )
+
+    # -- Schur interface path (reference SchurHelper, SchurHelper.h:215-331;
+    #    here the gamma vector itself is sharded by interface owner) --------
+
+    def gamma_zeros(self, dtype=None) -> jnp.ndarray:
+        """Zero interface vector in the sharded owner layout
+        ``[ndev*NOg, m]`` (shard r's block = its owned interfaces)."""
+        z = jnp.zeros(
+            (self.ndev * max(self.NOg, 1), self.m), dtype=dtype or self.dtype
+        )
+        return jax.device_put(z, self._psh)
+
+    def gamma_global(self, gamma) -> np.ndarray:
+        """Owner-sharded gamma -> the single-device ``[NIf, m]`` layout
+        (host-side; for tests/IO)."""
+        NOg = max(self.NOg, 1)
+        out = np.zeros((self.base.num_ifaces, self.m), dtype=gamma.dtype)
+        g = np.asarray(gamma)
+        for r, ids in enumerate(self._owned_ids):
+            for k, i in enumerate(ids):
+                out[i] = g[r * NOg + k]
+        return out
+
+    def interpolate(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Trace interpolation into the owner-sharded gamma layout."""
+        def f(u_loc):
+            me = jax.lax.axis_index("p")
+            gamma_pad = self._interp_local(u_loc, me)
+            return gamma_pad[self._own_pos[me]]  # [NOg, m]
+
+        return self._smap("interp", f, 1)(u)
+
+    def patch_solve(self, f: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+        """Batched patch solves with explicit owner-sharded interface
+        values (fold ``-2 h^-2 gamma`` into f, then spectral solves)."""
+        if self._single_group:
+            def g(f_loc, g_loc, h2inv, denom):
+                me = jax.lax.axis_index("p")
+                gf = self._gf_from_gamma_local(g_loc, me)
+                fc = self._fold_local(f_loc, gf, h2inv)
+                return self._solve_local(fc, denom)
+
+            return self._smap("psolve", g, 4)(
+                f, gamma.astype(f.dtype), self.base.h2inv.astype(f.dtype),
+                self._denom.astype(f.dtype),
+            )
+
+        def g(f_loc, g_loc, h2inv, denom, tidx, pinmask):
+            me = jax.lax.axis_index("p")
+            gf = self._gf_from_gamma_local(g_loc, me)
+            fc = self._fold_local(f_loc, gf, h2inv)
+            return self._solve_local(fc, denom, tidx, pinmask)
+
+        return self._smap("psolve_mg", g, 6)(
+            f, gamma.astype(f.dtype), self.base.h2inv.astype(f.dtype),
+            self._denom.astype(f.dtype), self._tidx, self._pinmask,
+        )
+
+    def schur_S(self, gamma: jnp.ndarray) -> jnp.ndarray:
+        """``S gamma = interp(patch_solve(0, gamma))`` in one shard_map
+        (one gamma exchange + one cut-face exchange per application) —
+        the matrix-free Schur operator of ``SchurWrapOp.h:47-53``."""
+        if self._single_group:
+            def g(g_loc, h2inv, denom):
+                me = jax.lax.axis_index("p")
+                gf = self._gf_from_gamma_local(g_loc, me)
+                zf = jnp.zeros((self.Pl,) + (self.n,) * self.D, dtype=g_loc.dtype)
+                u = self._solve_local(self._fold_local(zf, gf, h2inv), denom)
+                return self._interp_local(u, me)[self._own_pos[me]]
+
+            return self._smap("schurS", g, 3)(
+                gamma, self.base.h2inv.astype(gamma.dtype),
+                self._denom.astype(gamma.dtype),
+            )
+
+        def g(g_loc, h2inv, denom, tidx, pinmask):
+            me = jax.lax.axis_index("p")
+            gf = self._gf_from_gamma_local(g_loc, me)
+            zf = jnp.zeros((self.Pl,) + (self.n,) * self.D, dtype=g_loc.dtype)
+            u = self._solve_local(
+                self._fold_local(zf, gf, h2inv), denom, tidx, pinmask
+            )
+            return self._interp_local(u, me)[self._own_pos[me]]
+
+        return self._smap("schurS_mg", g, 5)(
+            gamma, self.base.h2inv.astype(gamma.dtype),
+            self._denom.astype(gamma.dtype), self._tidx, self._pinmask,
         )
 
     def zeros(self) -> jnp.ndarray:

@@ -35,18 +35,18 @@ def schwarz(level: Level) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """One sweep of exact patch solves with zero interface data."""
 
     def M(r):
-        gamma0 = jnp.zeros((level.num_ifaces, level.m), dtype=r.dtype)
-        return level.patch_solve(r, gamma0)
+        return level.patch_solve(r, level.gamma_zeros(r.dtype))
 
     return M
 
 
-def poly_cheb(level: Level) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Chebyshev polynomial of the Schur operator (``PolyChebPrec.cpp``)."""
+def poly_cheb(level) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Chebyshev polynomial of the Schur operator (``PolyChebPrec.cpp``).
 
-    def S(gamma):
-        zero_f = level.zeros().astype(gamma.dtype)
-        return level.interpolate(level.patch_solve(zero_f, gamma))
+    ``level`` is any engine exposing ``schur_S`` (a plain ``Level`` or a
+    halo ``ShardedLevel``)."""
+
+    S = level.schur_S
 
     iv = CHEB_INTERVAL
     coeffs = CHEB_COEFFS

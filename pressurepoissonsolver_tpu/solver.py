@@ -168,7 +168,7 @@ class PoissonSolver:
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         if self._apply_jit is None:
-            self._apply_jit = jax.jit(self.fine_level.apply)
+            self._apply_jit = jax.jit(self._op.apply)
         return self._apply_jit(u)
 
     def _preconditioner(self) -> Optional[Callable]:
@@ -377,15 +377,13 @@ class PoissonSolver:
         """
         tol = self.opts.tol if tol is None else tol
         max_iter = self.opts.max_iter if max_iter is None else max_iter
-        lvl = self.fine_level
-        f = self._device_put(jnp.asarray(f, dtype=self.opts.dtype))
-
-        def S(gamma):
-            u = lvl.patch_solve(jnp.zeros_like(f), gamma)
-            return lvl.interpolate(u)
+        # the sharded engines (pjit-constrained Level / halo ShardedLevel)
+        # run the Schur path too: SchurHelper is the reference's central
+        # *distributed* object (SchurHelper.h:215-331)
+        lvl = self._op
 
         def A_schur(gamma):
-            return gamma - S(gamma)
+            return gamma - lvl.schur_S(gamma)
 
         key = (preconditioner, tol, max_iter)
         if self._schur_jit_key != key:
@@ -397,7 +395,7 @@ class PoissonSolver:
             elif preconditioner == "blockjacobi":
                 from .matrix import schur_block_jacobi
 
-                M = schur_block_jacobi(lvl)
+                M = schur_block_jacobi(self.fine_level, engine=lvl)
 
             from .krylov import gmres
 
@@ -405,7 +403,7 @@ class PoissonSolver:
 
             @jax.jit
             def run(f):
-                gamma0 = jnp.zeros((lvl.num_ifaces, lvl.m), dtype=f.dtype)
+                gamma0 = lvl.gamma_zeros(f.dtype)
                 b = lvl.interpolate(lvl.patch_solve(f, gamma0))
                 res = method(A_schur, b, M=M, tol=tol, max_iter=max_iter)
                 u = lvl.patch_solve(f, res.x)
@@ -414,6 +412,7 @@ class PoissonSolver:
             self._schur_jit = run
             self._schur_jit_key = key
 
+        f = self._device_put(jnp.asarray(f, dtype=self.opts.dtype))
         return self._schur_jit(f)
 
     # -- diagnostics --------------------------------------------------------

@@ -1,10 +1,16 @@
 """Per-op timing + roofline report on the current device.
 
 Uses ``utils.profiling.op_report`` (in-graph fori-chained timings) for the
-core Level ops and adds the full V-cycle.  Run on the TPU for the
-"per-kernel speed-of-light" accounting; CPU runs are for smoke-testing.
+core Level ops, adds a sub-op breakdown of the composite-apply pipeline
+(face extraction / trace interpolation / gamma gather / stencil / RHS fold
+/ spectral solve) plus the GMG transfers and the full V-cycle.  Run on the
+TPU for the "per-kernel speed-of-light" accounting; CPU runs are for
+smoke-testing.
 
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_ops.py
+
+Env knobs: PPS_PROFILE_DIVIDE (default 3 = bench size), PPS_PROFILE_N,
+PPS_PROFILE_DTYPE (f32 to skip f64), PPS_PROFILE_OUT (write a JSON report).
 """
 
 import json
@@ -18,12 +24,61 @@ import numpy as np
 from pressurepoissonsolver_tpu.domain import DomainHierarchy
 from pressurepoissonsolver_tpu.geometry import Tree, refined_tree
 from pressurepoissonsolver_tpu.gmg import CycleOpts, build_gmg
-from pressurepoissonsolver_tpu.ops.level_ops import Level
+from pressurepoissonsolver_tpu.ops.level_ops import Level, extract_faces
 from pressurepoissonsolver_tpu.utils import profiling
 
 
+def level_breakdown(lvl: Level, reps: int = 20) -> dict:
+    """In-graph per-op table for one level, sub-ops of apply included."""
+    bw = profiling._device_bw()
+    itemsize = jnp.dtype(lvl.dtype).itemsize
+    cells = lvl.P * lvl.pl.cells_per_patch
+    field = cells * itemsize
+    D, n, m = lvl.D, lvl.n, lvl.m
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((lvl.P,) + lvl.pl.ns_shape), dtype=lvl.dtype)
+    g = jnp.asarray(
+        rng.standard_normal((max(lvl.num_ifaces, 1), m)), dtype=lvl.dtype
+    )
+    gf = jnp.asarray(
+        rng.standard_normal((lvl.P, 2 * D, m)), dtype=lvl.dtype
+    )
+    faces = extract_faces(u, D, n, lvl.face_depth)
+    face_bytes = faces.size * itemsize
+    nnz = (2 * D + 1) * cells
+
+    out = {}
+
+    def add(name, fn, args, bytes_needed, nnz_count=None):
+        t = profiling.time_op(fn, *args, reps=reps, in_graph=True)
+        rec = {
+            "ms": round(t * 1e3, 4),
+            "roofline_pct": round(100 * bytes_needed / bw / t, 2),
+        }
+        if nnz_count:
+            rec["gnnz_per_s"] = round(nnz_count / t / 1e9, 2)
+        out[name] = rec
+
+    # sub-ops of the composite apply
+    add("extract_faces", lambda x: extract_faces(x, D, n, lvl.face_depth),
+        (u,), field + face_bytes)
+    add("pipe_interpolate", lambda ff: lvl._pipe.interpolate(ff, m),
+        (faces,), 2 * face_bytes)
+    add("interpolate", lvl.interpolate, (u,), field + face_bytes)
+    add("gamma_faces", lvl.gamma_faces, (g,), 2 * face_bytes)
+    add("stencil_only", lambda x: lvl._stencil_with_faces(x, gf), (u,),
+        2 * field, nnz)
+    add("fold_rhs", lambda x: lvl._fold_faces_into_rhs(x, gf), (u,), 2 * field)
+    add("spectral_solve", lvl._spectral_solve, (u,), 2 * field)
+    # composed ops
+    add("apply", lvl.apply, (u,), 2 * field, nnz)
+    add("patch_solve", lambda x: lvl.patch_solve(x, g), (u,), 2 * field)
+    add("smooth", lambda x: lvl.smooth(x, x), (u,), 3 * field)
+    return out
+
+
 def main():
-    divide = int(os.environ.get("PPS_PROFILE_DIVIDE", "2"))
+    divide = int(os.environ.get("PPS_PROFILE_DIVIDE", "3"))
     n = int(os.environ.get("PPS_PROFILE_N", "16"))
     try:
         tree = Tree.from_file(
@@ -35,6 +90,12 @@ def main():
         tree.refine_leaves()
     h = DomainHierarchy(tree, n=n)
 
+    report = {
+        "divide": divide,
+        "n": n,
+        "device": str(jax.devices()[0]),
+        "hbm_bytes_per_s": profiling._device_bw(),
+    }
     variants = [(jnp.float32, "f32"), (jnp.float64, "f64")]
     if os.environ.get("PPS_PROFILE_DTYPE") == "f32":
         variants = variants[:1]
@@ -42,18 +103,40 @@ def main():
         lvl = Level(h.finest, dtype=dtype)
         print(f"== {name}: P={lvl.P} n={n} DOF={lvl.P * n**2} "
               f"ifaces={lvl.num_ifaces}", flush=True)
-        rep = profiling.op_report(lvl)
-        for k, v in rep.items():
-            print(f"  {k:14s} {v}", flush=True)
-        gmg = build_gmg(h, dtype=dtype)
+        rep = level_breakdown(lvl)
+        gmg = build_gmg(h, dtype=dtype,
+                        opts=CycleOpts(pre_sweeps=2, fac_smoothing="active"))
         gmg.levels[0] = lvl
         if gmg.transfers:
             gmg.transfers[0].fine = lvl
         rng = np.random.default_rng(0)
         u = jnp.asarray(rng.standard_normal((lvl.P, n, n)), dtype=dtype)
+        itemsize = jnp.dtype(dtype).itemsize
+        field = lvl.P * n**2 * itemsize
+        bw = profiling._device_bw()
+        if gmg.transfers:
+            tr = gmg.transfers[0]
+            t = profiling.time_op(tr.restrict, u, reps=10, in_graph=True)
+            rep["restrict"] = {"ms": round(t * 1e3, 4),
+                               "roofline_pct": round(100 * 1.25 * field / bw / t, 2)}
+            uc = jnp.asarray(
+                rng.standard_normal((gmg.levels[1].P, n, n)), dtype=dtype)
+            t = profiling.time_op(
+                lambda x: tr.prolong_add(uc, x), u, reps=10, in_graph=True)
+            rep["prolong"] = {"ms": round(t * 1e3, 4),
+                              "roofline_pct": round(100 * 2.25 * field / bw / t, 2)}
         t = profiling.time_op(gmg.apply, u, reps=5, in_graph=True)
-        print(f"  vcycle         {t*1e3:8.3f} ms   levels={len(gmg.levels)}",
-              flush=True)
+        rep["vcycle_V21_active"] = {"ms": round(t * 1e3, 4),
+                                    "levels": len(gmg.levels)}
+        for k, v in rep.items():
+            print(f"  {k:16s} {v}", flush=True)
+        report[name] = rep
+
+    out_path = os.environ.get("PPS_PROFILE_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":

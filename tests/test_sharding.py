@@ -290,3 +290,62 @@ def test_halo_comm_volume_bounded_by_cut_faces():
         shard_of = block_partition(h.finest.num_patches, 8)
         cuts = cut_faces(h.finest, shard_of)
         assert 0 < sl.comm_rows <= cuts
+
+
+def test_sharded_schur_ops_match_single_device():
+    """Halo-engine Schur entry points (interpolate / patch_solve / S) ==
+    single-device Level, 8 devices (SchurHelper.h:281-331 distributed)."""
+    from pressurepoissonsolver_tpu.parallel.halo import ShardedLevel
+
+    mesh, h, lvl, u = _sharded_setup()
+    sl = ShardedLevel(lvl, mesh)
+    rng = np.random.default_rng(7)
+    gamma_ref = rng.standard_normal((lvl.num_ifaces, lvl.m))
+    NOg = max(sl.NOg, 1)
+    g_sh = np.zeros((sl.ndev * NOg, lvl.m))
+    for r, ids in enumerate(sl._owned_ids):
+        for k, i in enumerate(ids):
+            g_sh[r * NOg + k] = gamma_ref[i]
+
+    gi_ref = np.asarray(lvl.interpolate(jnp.asarray(u)))
+    gi_sh = sl.gamma_global(sl.interpolate(jnp.asarray(u)))
+    np.testing.assert_allclose(gi_sh, gi_ref, rtol=1e-12, atol=1e-12)
+
+    f = rng.standard_normal(u.shape)
+    ps_ref = np.asarray(lvl.patch_solve(jnp.asarray(f), jnp.asarray(gamma_ref)))
+    ps_sh = np.asarray(sl.patch_solve(jnp.asarray(f), jnp.asarray(g_sh)))
+    np.testing.assert_allclose(ps_sh, ps_ref, rtol=1e-11, atol=1e-11)
+
+    S_ref = np.asarray(lvl.schur_S(jnp.asarray(gamma_ref)))
+    S_sh = sl.gamma_global(sl.schur_S(jnp.asarray(g_sh)))
+    np.testing.assert_allclose(S_sh, S_ref, rtol=1e-11, atol=1e-11)
+
+
+def test_public_sharded_schur_solve():
+    """solve_schur through the public API in both mesh modes == single
+    device (the reference's central distributed path, --schur)."""
+    from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+    from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+    ndev = 8
+    mesh = make_mesh(ndev)
+    t = refined_tree(2, 3, 1)
+    h1 = DomainHierarchy(t, n=8)
+    s1 = PoissonSolver(h1, SolveOptions(tol=1e-10, precondition=False))
+    f1, _ = init_problem(h1.finest, get_problem("trig", 2))
+    u1, res1 = s1.solve_schur(jnp.asarray(f1))
+    assert int(res1.iterations) > 0
+
+    h8 = DomainHierarchy(t, n=8, num_shards=ndev)
+    f8, _ = init_problem(h8.finest, get_problem("trig", 2))
+    pos, nr = _id_align(h8.finest, h1.finest)
+    for comm in ("pjit", "halo"):
+        s8 = PoissonSolver(
+            h8, SolveOptions(tol=1e-10, precondition=False, comm=comm),
+            mesh=mesh,
+        )
+        u8, res8 = s8.solve_schur(jnp.asarray(f8))
+        np.testing.assert_allclose(
+            np.asarray(u8)[:nr], np.asarray(u1)[pos], atol=1e-8
+        )
+        assert np.abs(np.asarray(u8)[nr:]).max() == 0.0
