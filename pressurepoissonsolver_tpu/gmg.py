@@ -138,6 +138,7 @@ class Transfer:
         self.prolong_mode = prolong_mode
         D, n = fine.D, fine.n
         self.D, self.n = D, n
+        self._cells = n**D
         self._wlin = [
             jnp.asarray(_linear_prolong_matrix(n, h)) for h in range(2)
         ]
@@ -145,6 +146,35 @@ class Transfer:
             jnp.asarray(_constant_prolong_matrix(n, h)) for h in range(2)
         ]
         self._wrstr = [jnp.asarray(_restrict_matrix(n, h)) for h in range(2)]
+        # f32 fast path: per-orthant transfers in Kronecker form — one
+        # [n^2, n^2] matmul on perfectly lane-tiled flat operands (2D), or
+        # a (y,x) Kronecker matmul plus a z contraction (3D).  Measured
+        # 748 -> 76 us per restrict at bench size (scripts/
+        # interp_experiment.py); the f64 path keeps the per-axis form.
+        self._use_kron = np.dtype(fine.dtype) == np.dtype(np.float32) and D in (2, 3)
+        if self._use_kron:
+            rmats = [_restrict_matrix(n, h) for h in range(2)]
+            pmats = (
+                [_linear_prolong_matrix(n, h) for h in range(2)]
+                if prolong_mode == "linear"
+                else [_constant_prolong_matrix(n, h) for h in range(2)]
+            )
+            self._Wr, self._Wp = [], []
+            for o in range(1 << D):
+                kr = np.kron(rmats[(o >> 1) & 1], rmats[o & 1]).T
+                kp = np.kron(pmats[(o >> 1) & 1], pmats[o & 1]).T
+                if D == 2:
+                    self._Wr.append(jnp.asarray(kr, dtype=jnp.float32))
+                    self._Wp.append(jnp.asarray(kp, dtype=jnp.float32))
+                else:
+                    self._Wr.append((
+                        jnp.asarray(kr, dtype=jnp.float32),
+                        jnp.asarray(rmats[(o >> 2) & 1], dtype=jnp.float32),
+                    ))
+                    self._Wp.append((
+                        jnp.asarray(kp, dtype=jnp.float32),
+                        jnp.asarray(pmats[(o >> 2) & 1], dtype=jnp.float32),
+                    ))
         pslots = parent_slots(fine.pl, coarse.pl)
         passthrough = fine.pl.orth_on_parent < 0
         orth = fine.pl.orth_on_parent
@@ -217,19 +247,42 @@ class Transfer:
                 idx.append(slice(0, n // 2))
         return tuple(idx)
 
+    def _orthant_apply(self, blk_flat: jnp.ndarray, o: int, kron_mats,
+                       axis_mats) -> jnp.ndarray:
+        """Apply the orthant-``o`` transfer matrices to flat ``[R, n^D]``
+        rows: Kronecker matmuls on the f32 path, per-axis matmuls (exact
+        summation structure) otherwise."""
+        D, n = self.D, self.n
+        hp = jax.lax.Precision.HIGHEST
+        if self._use_kron:
+            if D == 2:
+                return jnp.dot(blk_flat, kron_mats[o].astype(blk_flat.dtype),
+                               precision=hp)
+            Wyx, Rz = kron_mats[o]
+            x3 = blk_flat.reshape(-1, n, n * n)
+            y = jnp.einsum("pwl,zw->pzl", x3, Rz.astype(blk_flat.dtype),
+                           precision=hp)
+            y = jnp.matmul(y, Wyx.astype(blk_flat.dtype), precision=hp)
+            return y.reshape(blk_flat.shape[0], -1)
+        blk = blk_flat.reshape((-1,) + (n,) * D)
+        for a in range(D):
+            M = axis_mats[(o >> a) & 1].astype(blk.dtype)
+            blk = _axis_matmul(M, blk, 1 + (D - 1 - a))
+        return blk.reshape(blk_flat.shape[0], -1)
+
     def restrict(self, fine_u: jnp.ndarray) -> jnp.ndarray:
         """Cell-averaging restriction into a new coarse-level vector.
 
-        Matmul form: per orthant, gather the full child patches by the
-        coarse-side child table and accumulate them through the per-axis
-        averaging-placement matrices ``_restrict_matrix`` — full-size
-        ``[.., n, n]`` operands throughout, so every op is MXU-tiled
-        (the earlier pool+concat assembly worked on ``(n/2)``-minor
-        blocks, which pad ~16x in the 8x128 TPU tile layout and made the
-        transfers the V-cycle bottleneck)."""
+        Matmul form: per orthant, gather the full child patches (as flat
+        ``[.., n^D]`` rows — rank-3 gathers are ~8x slower on TPU) by the
+        coarse-side child table and accumulate them through the
+        averaging-placement matrices."""
         D, n = self.D, self.n
-        fine_pad = jnp.concatenate(
-            [fine_u, jnp.zeros((1,) + fine_u.shape[1:], dtype=fine_u.dtype)], axis=0
+        Pf = fine_u.shape[0]
+        cells = self._cells
+        fine_flat = jnp.concatenate(
+            [fine_u.reshape(Pf, cells),
+             jnp.zeros((1, cells), dtype=fine_u.dtype)], axis=0
         )
         # compact form only off-mesh: its row gathers are shard-arbitrary
         compact = (
@@ -239,47 +292,43 @@ class Transfer:
         child_slot = self._r_child_slot if compact else self._child_slot
         assembled = None
         for o in range(1 << D):
-            block = fine_pad[child_slot[:, o]]  # [Pc|Pp, n, n(, n)]
-            for a in range(D):
-                bit = (o >> a) & 1
-                R = self._wrstr[bit].astype(block.dtype)
-                block = _axis_matmul(R, block, 1 + (D - 1 - a))
+            block = self._orthant_apply(
+                fine_flat[child_slot[:, o]], o,
+                self._Wr if self._use_kron else None, self._wrstr,
+            )
             assembled = block if assembled is None else assembled + block
         if compact:
-            pad = jnp.zeros((1,) + assembled.shape[1:], dtype=assembled.dtype)
+            pad = jnp.zeros((1, cells), dtype=assembled.dtype)
             assembled = jnp.concatenate([assembled, pad], axis=0)[self._r_inv]
-        return self.coarse._constrain_p(assembled + fine_pad[self._pt_slot])
-
-    def _prolong_block(self, coarse_u: jnp.ndarray, o: int, psel) -> jnp.ndarray:
-        """The orthant-``o`` prolongation block for parent rows ``psel``:
-        per-axis matmuls with the constant-injection or linear matrices
-        (full-size operands — see ``restrict`` on TPU tile layout)."""
-        D, n = self.D, self.n
-        mats = self._wlin if self.prolong_mode == "linear" else self._wconst
-        block = coarse_u[psel]  # full parent patch [|sel|, n, n(, n)]
-        for a in range(D):
-            bit = (o >> a) & 1
-            W = mats[bit].astype(block.dtype)
-            block = _axis_matmul(W, block, 1 + (D - 1 - a))
-        return block
+        out = (assembled + fine_flat[self._pt_slot]).reshape(
+            (-1,) + fine_u.shape[1:]
+        )
+        return self.coarse._constrain_p(out)
 
     def prolong_add(self, coarse_u: jnp.ndarray, fine_u: jnp.ndarray) -> jnp.ndarray:
         """Prolongation (constant or linear), added into ``fine_u``.
 
         Gather form: compute each orthant group's blocks, stack them with the
         pass-through rows, and route rows to fine slots with one precomputed
-        row gather (no scatter-adds)."""
+        (flat) row gather — no scatter-adds."""
+        cells = self._cells
+        cflat = coarse_u.reshape(coarse_u.shape[0], cells)
+        axis_mats = self._wlin if self.prolong_mode == "linear" else self._wconst
         parts = [
-            self._prolong_block(coarse_u, o, psel) for o, _, psel in self._groups
+            self._orthant_apply(
+                cflat[psel], o, self._Wp if self._use_kron else None, axis_mats
+            )
+            for o, _, psel in self._groups
         ]
         if self._pt_fine is not None:
-            parts.append(coarse_u[self._pt_parent])
+            parts.append(cflat[self._pt_parent])
         if not parts:
             return fine_u
         stacked = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-        zrow = jnp.zeros((1,) + stacked.shape[1:], dtype=stacked.dtype)
+        zrow = jnp.zeros((1, cells), dtype=stacked.dtype)
         stacked_pad = jnp.concatenate([stacked, zrow], axis=0)
-        return self.fine._constrain_p(fine_u + stacked_pad[self._prolong_inv])
+        routed = stacked_pad[self._prolong_inv].reshape(fine_u.shape)
+        return self.fine._constrain_p(fine_u + routed)
 
 
 def _expand_ring(pl, active: np.ndarray, rings: int) -> np.ndarray:

@@ -81,6 +81,14 @@ class _SolverTables:
     denom_sorted: jnp.ndarray  # [Ps, *ns]
     groups: List[_SolveGroup]
     tmats: dict  # transform kind -> [n, n] matrix
+    # f32 fast path: per group, the forward/inverse transforms in Kronecker
+    # form — 2D: (W1 [n^2,n^2], W2) so a whole patch solve is two matmuls
+    # on perfectly lane-tiled [Ps, n^2] operands; 3D: (Wyx1, Wyx2, Tz1,
+    # Tz2) — the (y,x) pair as one [n^2,n^2] matmul plus a z-axis
+    # contraction.  The transforms only serve the smoother/preconditioner,
+    # where default-precision MXU passes are plenty (measured 27 -> 14 us
+    # at bench size vs the per-axis form).
+    kron: Optional[list] = None
 
 
 def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray) -> _SolverTables:
@@ -135,6 +143,27 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray) -> _SolverTab
         kk: jnp.asarray(tr.transform_matrix(kk, n)).astype(dtype)
         for kk in kinds_used
     }
+    kron = None
+    if dtype == jnp.float32 and D in (2, 3):
+        scale = (2.0 / n) ** D
+        kron = []
+        for g in groups:
+            Tf = [tr.transform_matrix(k, n) for k in g.fwd_kinds]
+            Ti = [tr.transform_matrix(k, n) for k in g.inv_kinds]
+            W1 = np.kron(Tf[1], Tf[0]).T  # (y, x) pair, row-major flat
+            W2 = np.kron(Ti[1], Ti[0]).T
+            if D == 2:
+                kron.append((
+                    jnp.asarray(W1).astype(dtype),
+                    jnp.asarray(W2 * scale).astype(dtype),
+                ))
+            else:
+                kron.append((
+                    jnp.asarray(W1).astype(dtype),
+                    jnp.asarray(W2 * scale).astype(dtype),
+                    jnp.asarray(Tf[2]).astype(dtype),
+                    jnp.asarray(Ti[2]).astype(dtype),
+                ))
     return _SolverTables(
         perm=jnp.asarray(perm),
         inv_perm=jnp.asarray(inv_perm),
@@ -142,7 +171,35 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray) -> _SolverTab
         denom_sorted=jnp.asarray(denom).astype(dtype),
         groups=groups,
         tmats=tmats,
+        kron=kron,
     )
+
+
+def _fold_faces_flat(
+    fc: jnp.ndarray,
+    gf: jnp.ndarray,
+    h2inv: jnp.ndarray,
+    D: int,
+    n: int,
+) -> jnp.ndarray:
+    """``f_slice -= 2/h^2 * gf`` on every face, pad-spread form
+    (``StarPatchOp::addInterfaceToRHS``, ``StarPatchOp.h:185-203``).
+
+    Expressed as ``fc - 2 * sum_of_padded_faces`` so XLA fuses the pads
+    into one elementwise pass — the ``.at[].add`` slice-update form costs
+    a full-array copy per side (measured 73 us -> 1 us at bench size)."""
+    P = fc.shape[0]
+    add = None
+    for a in range(D):
+        ax = _arr_axis(D, a)
+        h2i = h2inv[:, a].astype(fc.dtype).reshape((P,) + (1,) * D)
+        for side, pos in ((2 * a, 0), (2 * a + 1, n - 1)):
+            face = gf[:, side].reshape((P,) + (n,) * (D - 1))
+            widths = [(0, 0)] * (D + 1)
+            widths[ax] = (pos, n - 1 - pos)
+            term = h2i * jnp.pad(jnp.expand_dims(face, ax), widths)
+            add = term if add is None else add + term
+    return fc - 2.0 * add if add is not None else fc
 
 
 def _star_stencil(
@@ -181,49 +238,62 @@ def _star_stencil(
 
 @dataclass
 class _ContribPipeline:
-    """Case-sorted trace-interpolation pipeline over (a subset of) the
-    interfaces: scalar-prefix contributions apply as one elementwise
-    multiply, the matmul remainder as one batched contraction, and the
-    interface reduction as one padded row gather + sum."""
+    """Trace-interpolation pipeline, gather-minimal form.
 
-    c_patch: jnp.ndarray  # [C] contributing patch slot (sorted order)
-    c_side: jnp.ndarray  # [C] face row of the contribution
-    n_scalar: int  # contributions 0..n_scalar use identity-scaled templates
-    w_scalar: jnp.ndarray  # [n_scalar, 1] the scalings
-    T_rows: jnp.ndarray  # [C - n_scalar, m, m] per-row matmul templates
-    iface_gather: jnp.ndarray  # [NIf, K] contribution rows per interface
+    Scalar-weighted contributions (normal/c2c — the bulk) are stored
+    interface-major, padded to a uniform count ``Ks``, so the interface
+    reduction is a fused multiply + reshape-sum with **no** reduction
+    gather; the matmul contributions (refinement-boundary closures, in
+    true f32 — bf16 MXU passes cost ~3 digits, which the 2/h^2 ghost
+    closure amplifies into O(1e-3) operator error) run case-sorted on
+    their own compact interface set and are added back with one padded
+    row gather.  Every gather is a rank-2 row gather on the flattened
+    ``[P*S2f, m]`` face table: rank-3 / two-axis gathers measured ~4-8x
+    slower on TPU (scripts/interp_experiment.py)."""
+
+    num_ifaces: int
+    Ks: int
+    idx_s: jnp.ndarray  # [NIf*Ks] flat face-row ids (pad -> zero row)
+    w_s: jnp.ndarray  # [NIf, Ks, 1] scalar weights (0 on pads)
+    idx_m: Optional[jnp.ndarray]  # [Cm] flat face-row ids (case-sorted)
+    mm_segs: Optional[list]  # [(start, stop, T [m,m])] case segments
+    Km: int
+    mm_gather: Optional[jnp.ndarray]  # [NIfm*Km] rows into vals (pad -> Cm)
+    mm_inv: Optional[jnp.ndarray]  # [NIf] -> compact mm row (pad -> NIfm)
 
     def interpolate(self, faces: jnp.ndarray, m: int) -> jnp.ndarray:
         """gamma[NIf, m] from per-patch face traces [P, 2D*depth, m]."""
-        g = faces[self.c_patch, self.c_side]  # [C, m], scalars first
-        C, Cs = g.shape[0], self.n_scalar
-        parts = []
-        if Cs > 0:
-            # identity-scaled templates (normal/c2c — the bulk): one
-            # elementwise multiply, exact at any precision
-            parts.append(
-                jax.lax.slice_in_dim(g, 0, Cs, axis=0)
-                * self.w_scalar.astype(g.dtype)
-            )
-        if Cs < C:
-            # refinement-boundary cases: one batched contraction with
-            # per-row templates, in true-f32 (the default bf16 MXU passes
-            # cost ~3 digits, which the 2/h^2 ghost closure amplifies into
-            # O(1e-3) operator error — fatal for f32 Krylov)
-            rows = jax.lax.slice_in_dim(g, Cs, C, axis=0)
-            parts.append(
-                jnp.einsum(
-                    "rj,rij->ri",
-                    rows,
-                    self.T_rows.astype(g.dtype),
+        P, S2f = faces.shape[0], faces.shape[1]
+        ffp = jnp.concatenate(
+            [faces.reshape(P * S2f, m), jnp.zeros((1, m), dtype=faces.dtype)],
+            axis=0,
+        )
+        gs = ffp[self.idx_s].reshape(self.num_ifaces, self.Ks, m)
+        gamma = jnp.sum(gs * self.w_s.astype(faces.dtype), axis=1)
+        if self.idx_m is not None:
+            # refinement-boundary templates: one [R, m] @ [m, m] matmul per
+            # case segment in true f32 (a per-row einsum lowers to tiny
+            # batched matvecs; bf16 default passes cost ~3 digits that the
+            # 2/h^2 ghost closure amplifies into O(1e-3) operator error)
+            gm = ffp[self.idx_m]  # [Cm, m]
+            parts = [
+                jnp.matmul(
+                    jax.lax.slice_in_dim(gm, a, b, axis=0),
+                    T.T.astype(faces.dtype),
                     precision=jax.lax.Precision.HIGHEST,
                 )
+                for a, b, T in self.mm_segs
+            ]
+            vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            vp = jnp.concatenate(
+                [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
             )
-        vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        vals_padded = jnp.concatenate(
-            [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
-        )
-        return jnp.sum(vals_padded[self.iface_gather], axis=1)
+            sums = vp[self.mm_gather].reshape(-1, self.Km, m).sum(axis=1)
+            sp = jnp.concatenate(
+                [sums, jnp.zeros((1, m), dtype=sums.dtype)], axis=0
+            )
+            gamma = gamma + sp[self.mm_inv]
+        return gamma
 
 
 def _build_contrib_pipeline(
@@ -235,37 +305,106 @@ def _build_contrib_pipeline(
     case_T: np.ndarray,
     case_scalar: list,
     dtype,
+    n_face_rows: int,
+    num_src_patches: int,
 ) -> _ContribPipeline:
     C = len(contrib_patch)
+    flat = contrib_patch.astype(np.int64) * n_face_rows + contrib_side
+    pad_row = num_src_patches * n_face_rows  # the appended zero row
     is_mm = np.array([case_scalar[int(k)] is None for k in contrib_case], dtype=bool)
-    order = np.lexsort((np.arange(C), contrib_case, is_mm))
-    cs = contrib_case[order]
-    n_scalar = int((~is_mm).sum())
-    w_row = np.array([case_scalar[int(k)] for k in cs[:n_scalar]], dtype=np.float64)
-    # per-interface gather of its (sorted-order) contribution rows
-    by_iface = [[] for _ in range(num_ifaces)]
-    sorted_iface = contrib_iface[order]
-    for c in range(C):
-        by_iface[int(sorted_iface[c])].append(c)
-    K_if = max((len(v) for v in by_iface), default=1)
-    gather_tbl = np.full((num_ifaces, K_if), C, dtype=np.int32)  # C = zero row
-    for i, v in enumerate(by_iface):
-        gather_tbl[i, : len(v)] = v
+    # scalar part: interface-major, padded to uniform Ks
+    by_if = [[] for _ in range(num_ifaces)]
+    for c in np.where(~is_mm)[0]:
+        by_if[int(contrib_iface[c])].append(c)
+    Ks = max((len(v) for v in by_if), default=1) or 1
+    idx_s = np.full((num_ifaces, Ks), pad_row, dtype=np.int32)
+    w_s = np.zeros((num_ifaces, Ks, 1))
+    for i, v in enumerate(by_if):
+        for k, c in enumerate(v):
+            idx_s[i, k] = flat[c]
+            w_s[i, k, 0] = case_scalar[int(contrib_case[c])]
     f = jnp.asarray
+    idx_m = mm_segs = mm_gather = mm_inv = None
+    Km = 0
+    mc = np.where(is_mm)[0]
+    if len(mc):
+        order = mc[np.lexsort((mc, contrib_case[mc]))]
+        cs = contrib_case[order]
+        mm_segs = []
+        a = 0
+        while a < len(order):
+            b = a
+            while b < len(order) and cs[b] == cs[a]:
+                b += 1
+            mm_segs.append((a, b, f(case_T[int(cs[a])]).astype(dtype)))
+            a = b
+        mm_if = np.unique(contrib_iface[order])
+        remap = np.full(num_ifaces, -1, dtype=np.int64)
+        remap[mm_if] = np.arange(len(mm_if))
+        by_mm = [[] for _ in range(len(mm_if))]
+        for r, c in enumerate(order):
+            by_mm[int(remap[contrib_iface[c]])].append(r)
+        Km = max(len(v) for v in by_mm)
+        gath = np.full((len(mm_if), Km), len(order), dtype=np.int32)
+        for i, v in enumerate(by_mm):
+            gath[i, : len(v)] = v
+        inv = np.full(num_ifaces, len(mm_if), dtype=np.int32)
+        inv[mm_if] = np.arange(len(mm_if))
+        idx_m = f(flat[order].astype(np.int32))
+        mm_gather = f(gath.reshape(-1))
+        mm_inv = f(inv)
     return _ContribPipeline(
-        c_patch=f(contrib_patch[order]),
-        c_side=f(contrib_side[order]),
-        n_scalar=n_scalar,
-        w_scalar=f(w_row.reshape(-1, 1)).astype(dtype),
-        T_rows=f(case_T[cs[n_scalar:]]).astype(dtype),
-        iface_gather=f(gather_tbl),
+        num_ifaces=num_ifaces,
+        Ks=Ks,
+        idx_s=f(idx_s.reshape(-1)),
+        w_s=f(w_s).astype(dtype),
+        idx_m=idx_m,
+        mm_segs=mm_segs,
+        Km=Km,
+        mm_gather=mm_gather,
+        mm_inv=mm_inv,
     )
 
 
 def _spectral_apply(st: _SolverTables, fc: jnp.ndarray, D: int, n: int) -> jnp.ndarray:
     """Batched spectral patch solves with the tables ``st`` (the jittable
     core of ``Level._spectral_solve``)."""
-    fs = fc if st.identity_perm else fc[st.perm]
+    P = fc.shape[0]
+    cells = int(np.prod(fc.shape[1:]))
+    if st.kron is not None:
+        # flat Kronecker path (f32): the BC-sort permutation, the
+        # transforms, and the eigen-divide all act on [Ps, n^2(*n)] rows
+        fflat = fc.reshape(P, cells)
+        fs = fflat if st.identity_perm else fflat[st.perm]
+        dnf = st.denom_sorted.reshape(P, -1) if D == 2 else (
+            st.denom_sorted.reshape(P, n, cells // n)
+        )
+        parts = []
+        for g, kr in zip(st.groups, st.kron):
+            x = jax.lax.slice_in_dim(fs, g.start, g.stop, axis=0)
+            dn = jax.lax.slice_in_dim(dnf, g.start, g.stop, axis=0)
+            if D == 2:
+                y = (x @ kr[0].astype(x.dtype)) / dn
+                if g.pin_dc:
+                    y = y.at[:, 0].set(0.0)
+                y = y @ kr[1].astype(x.dtype)
+            else:
+                W1, W2, Tz1, Tz2 = kr
+                x3 = x.reshape(x.shape[0], n, cells // n)
+                y = jnp.einsum("pwl,zw->pzl", x3, Tz1.astype(x.dtype))
+                y = (y @ W1.astype(x.dtype)) / dn
+                if g.pin_dc:
+                    y = y.at[:, 0, 0].set(0.0)
+                y = jnp.einsum("pwl,zw->pzl", y, Tz2.astype(x.dtype))
+                y = (y @ W2.astype(x.dtype)).reshape(x.shape[0], cells)
+            parts.append(y)
+        us = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        out = us if st.identity_perm else us[st.inv_perm]
+        return out.reshape(fc.shape)
+    if st.identity_perm:
+        fs = fc
+    else:  # flattened row gather (rank-3+ gathers are ~8x slower on TPU)
+        fs = fc.reshape(P, cells)[st.perm].reshape(fc.shape)
     parts = []
     scale = (2.0 / n) ** D
     for g in st.groups:
@@ -281,7 +420,9 @@ def _spectral_apply(st: _SolverTables, fc: jnp.ndarray, D: int, n: int) -> jnp.n
             x = Level._apply_transform(st.tmats[g.inv_kinds[a]], x, _arr_axis(D, a))
         parts.append(x * scale)
     us = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-    return us if st.identity_perm else us[st.inv_perm]
+    if st.identity_perm:
+        return us
+    return us.reshape(P, cells)[st.inv_perm].reshape(fc.shape)
 
 
 class Level:
@@ -349,15 +490,16 @@ class Level:
             else:
                 self._case_scalar.append(None)
 
-        # contributions sorted scalars-first (stable by case): the scalar
-        # prefix applies in ONE elementwise multiply with per-row weights,
-        # and the matmul remainder in ONE batched contraction with
-        # per-row-gathered templates — two ops replacing ~#cases
-        # slices+matmuls (in-graph op latency is a first-order cost)
         self._pipe = _build_contrib_pipeline(
             t.contrib_patch, t.contrib_side, t.contrib_case, t.contrib_iface,
             t.num_ifaces, case_T, self._case_scalar, dtype,
+            2 * self.D * self.face_depth, self.P,
         )
+        # gamma -> per-patch-side faces: one flattened padded row gather
+        # (masked sides route to the zero pad row)
+        if_flat = np.asarray(t.iface_side_idx, dtype=np.int64).copy()
+        if_flat[np.asarray(t.iface_side_mask) == 0] = t.num_ifaces
+        self._iface_flat = f(if_flat.reshape(-1).astype(np.int32))
 
         # stencil coefficients
         h2inv = (1.0 / patch_level.spacings**2).astype(np.float64)
@@ -436,11 +578,16 @@ class Level:
         return self._constrain_g(self._pipe.interpolate(faces, self.m))
 
     def gamma_faces(self, gamma: jnp.ndarray) -> jnp.ndarray:
-        """Per-patch-side interface traces ``[P, 2D, m]`` (zero where no nbr)."""
+        """Per-patch-side interface traces ``[P, 2D, m]`` (zero where no nbr).
+
+        One flattened padded row gather: masked sides index the appended
+        zero row, so no mask multiply is needed."""
         if self.num_ifaces == 0:
             return jnp.zeros((self.P, 2 * self.D, self.m), dtype=gamma.dtype)
-        gf = gamma[self.iface_idx]  # [P, 2D, m]
-        return gf * self.iface_mask[..., None]
+        gp = jnp.concatenate(
+            [gamma, jnp.zeros((1, self.m), dtype=gamma.dtype)], axis=0
+        )
+        return gp[self._iface_flat].reshape(self.P, 2 * self.D, self.m)
 
     def _face_shaped(self, flat: jnp.ndarray) -> jnp.ndarray:
         """[P, m] face vector -> [P, *face_dims] matching an axis slice."""
@@ -466,19 +613,7 @@ class Level:
         return self._fold_faces_into_rhs(fc, self.gamma_faces(gamma))
 
     def _fold_faces_into_rhs(self, fc: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
-        D, n = self.D, self.n
-        for a in range(D):
-            ax = _arr_axis(D, a)
-            h2i = self.h2inv[:, a].reshape((self.P,) + (1,) * (D - 1))
-            idx_lo = tuple(
-                [slice(None)] * ax + [0] + [slice(None)] * (D - (ax - 1) - 1)
-            )
-            idx_hi = tuple(
-                [slice(None)] * ax + [n - 1] + [slice(None)] * (D - (ax - 1) - 1)
-            )
-            fc = fc.at[idx_lo].add(-2.0 * h2i * self._face_shaped(gf[:, 2 * a]))
-            fc = fc.at[idx_hi].add(-2.0 * h2i * self._face_shaped(gf[:, 2 * a + 1]))
-        return fc
+        return _fold_faces_flat(fc, gf, self.h2inv, self.D, self.n)
 
     @staticmethod
     def _apply_transform(M: jnp.ndarray, x: jnp.ndarray, ax: int) -> jnp.ndarray:
@@ -602,8 +737,6 @@ class ActiveSmoother:
         self.num_sub_ifaces = len(needed)
         remap = np.full(max(t.num_ifaces, 1), -1, dtype=np.int64)
         remap[needed] = np.arange(len(needed))
-        self._g_idx = f(np.clip(remap[ii], 0, None))
-        self._g_mask = f(np.asarray(t.iface_side_mask)[act]).astype(level.dtype)
 
         # reduced contribution pipeline: only contributions that land on a
         # needed interface, sourcing faces from just the contributing
@@ -624,7 +757,13 @@ class ActiveSmoother:
             case_T,
             level._case_scalar,
             level.dtype,
+            2 * D * level.face_depth,
+            len(src),
         )
+        # flattened per-(active patch, side) gamma routing (masked -> pad)
+        gidx = np.asarray(remap[ii], dtype=np.int64).copy()
+        gidx[~mm] = self.num_sub_ifaces
+        self._g_flat = f(gidx.reshape(-1).astype(np.int32))
 
         self._st = (
             _build_solver_tables(level.pl, level.dtype, act) if build_solver else None
@@ -632,43 +771,40 @@ class ActiveSmoother:
         self._h2inv_act = f(np.asarray(level.h2inv)[act])
         self._ghost_act = f(np.asarray(level.ghost_coef)[act])
 
+    def _row_gather(self, x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+        """Leading-axis gather via the flattened rank-2 view (rank-3
+        gathers are ~8x slower on TPU)."""
+        P = x.shape[0]
+        return x.reshape(P, -1)[idx].reshape((len(idx),) + x.shape[1:])
+
     def _gamma_faces(self, u: jnp.ndarray) -> jnp.ndarray:
         """[Pa, 2D, m] interface traces at the active patches' faces,
         interpolated from the full iterate via the reduced pipeline."""
         lvl = self.level
-        faces = extract_faces(u[self._src], self.D, self.n, lvl.face_depth)
+        faces = extract_faces(
+            self._row_gather(u, self._src), self.D, self.n, lvl.face_depth
+        )
         gamma = self._pipe.interpolate(faces, self.m)  # [NIsub, m]
-        return gamma[self._g_idx] * self._g_mask.astype(u.dtype)[..., None]
+        gp = jnp.concatenate(
+            [gamma, jnp.zeros((1, self.m), dtype=gamma.dtype)], axis=0
+        )
+        return gp[self._g_flat].reshape(self.Pa, 2 * self.D, self.m)
 
     def _fold(self, fc: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
         """``f -= 2/h^2 gamma`` on active patches' neighbored faces
         (``StarPatchOp::addInterfaceToRHS``)."""
-        D, n, Pa = self.D, self.n, self.Pa
-        face_shape = (Pa,) + (n,) * (D - 1)
-        for a in range(D):
-            ax = _arr_axis(D, a)
-            h2i = self._h2inv_act[:, a].astype(fc.dtype).reshape(
-                (Pa,) + (1,) * (D - 1)
-            )
-            idx_lo = tuple(
-                [slice(None)] * ax + [0] + [slice(None)] * (D - (ax - 1) - 1)
-            )
-            idx_hi = tuple(
-                [slice(None)] * ax + [n - 1] + [slice(None)] * (D - (ax - 1) - 1)
-            )
-            fc = fc.at[idx_lo].add(-2.0 * h2i * gf[:, 2 * a].reshape(face_shape))
-            fc = fc.at[idx_hi].add(-2.0 * h2i * gf[:, 2 * a + 1].reshape(face_shape))
-        return fc
+        return _fold_faces_flat(fc, gf, self._h2inv_act, self.D, self.n)
 
     def _scatter(self, sol: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
         """Route the active solves back to their level slots (row gather —
         no device scatter), leaving ``base`` elsewhere."""
         pad = jnp.zeros((1,) + sol.shape[1:], dtype=sol.dtype)
         sol_pad = jnp.concatenate([sol, pad], axis=0)
-        return jnp.where(self._mask, sol_pad[self._inv], base)
+        routed = self._row_gather(sol_pad, self._inv)
+        return jnp.where(self._mask, routed, base)
 
     def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-        fa = f[self._act]
+        fa = self._row_gather(f, self._act)
         if self.num_sub_ifaces:
             fa = self._fold(fa, self._gamma_faces(u))
         sol = _spectral_apply(self._st, fa, self.D, self.n)
@@ -676,7 +812,7 @@ class ActiveSmoother:
 
     def smooth_zero(self, f: jnp.ndarray) -> jnp.ndarray:
         """``smooth(f, 0)`` — traces vanish, so just the subset solves."""
-        sol = _spectral_apply(self._st, f[self._act], self.D, self.n)
+        sol = _spectral_apply(self._st, self._row_gather(f, self._act), self.D, self.n)
         return self._scatter(sol, jnp.zeros((), dtype=f.dtype))
 
     def apply_scattered(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -693,7 +829,7 @@ class ActiveSmoother:
             else jnp.zeros((self.Pa, 2 * self.D, self.m), dtype=u.dtype)
         )
         out = _star_stencil(
-            u[self._act],
+            self._row_gather(u, self._act),
             gf,
             self._ghost_act.astype(u.dtype),
             self._h2inv_act.astype(u.dtype),

@@ -48,12 +48,19 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def time_op(fn: Callable, *args, reps: int = 20, in_graph: bool = False):
+def time_op(fn: Callable, *args, reps: int = 200, in_graph: bool = False,
+            trials: int = 3):
     """Seconds per call of ``fn(*args)`` after a compile/warm-up call.
 
-    ``in_graph=True`` chains ``reps`` calls inside one jitted
-    ``fori_loop`` (measuring steady-state in-program cost, no dispatch);
-    otherwise each rep is a separate dispatch.
+    ``in_graph=True`` chains ``reps`` calls inside one jitted loop with a
+    *dynamic* trip count and returns ``(t(reps) - t(0)) / reps`` — the
+    zero-trip execution of the same program calibrates out the fixed
+    program-launch cost, which on the tunneled TPU backend is ~20-25 ms
+    per execution and otherwise swamps every sub-millisecond op (this is
+    exactly what made OP_REPORT_r3's per-op numbers a flat ~1.2 ms floor
+    at reps=20).  The steady-state number reflects loop-resident operands
+    (VMEM-cached where they fit); see ``op_report`` for the HBM-forced
+    variant.  Without ``in_graph`` each rep is a separate dispatch.
     """
     import jax
 
@@ -61,7 +68,7 @@ def time_op(fn: Callable, *args, reps: int = 20, in_graph: bool = False):
         import jax.numpy as jnp
 
         @jax.jit
-        def loop(x):
+        def loop(x, n):
             def body(i, v):
                 out = fn(v, *args[1:])
                 if out.shape == v.shape:
@@ -70,14 +77,21 @@ def time_op(fn: Callable, *args, reps: int = 20, in_graph: bool = False):
                 # dead-code-eliminate it (costs one extra reduction pass)
                 return v + jnp.mean(out)
 
-            return jax.lax.fori_loop(0, reps, body, x)
+            return jax.lax.fori_loop(0, n, body, x)
 
-        out = loop(args[0])
-        jax.block_until_ready(out)
-        t0 = time.time()
-        out = loop(args[0])
-        jax.block_until_ready(out)
-        return (time.time() - t0) / reps
+        jax.block_until_ready(loop(args[0], reps))  # compile + warm
+        jax.block_until_ready(loop(args[0], 0))
+        best_base = best_full = float("inf")
+        for _ in range(trials):
+            t0 = time.time()
+            jax.block_until_ready(loop(args[0], 0))
+            best_base = min(best_base, time.time() - t0)
+            t0 = time.time()
+            jax.block_until_ready(loop(args[0], reps))
+            best_full = min(best_full, time.time() - t0)
+        # min each leg separately: min over per-trial deltas is biased by
+        # launch-cost jitter (one slow base run makes the delta negative)
+        return max((best_full - best_base) / reps, 1e-9)
 
     jfn = jax.jit(fn)
     out = jfn(*args)
@@ -139,7 +153,7 @@ def op_report(level, reps: int = 20) -> Dict[str, dict]:
     def add(name, fn, args, bytes_needed, nnz_count=None):
         t = time_op(fn, *args, reps=reps, in_graph=(args[0].shape == u.shape))
         rec = {
-            "ms": round(t * 1e3, 4),
+            "ms": round(t * 1e3, 6),
             "roofline_pct": round(100 * bytes_needed / bw / t, 2),
         }
         if nnz_count:

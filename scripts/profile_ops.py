@@ -28,7 +28,7 @@ from pressurepoissonsolver_tpu.ops.level_ops import Level, extract_faces
 from pressurepoissonsolver_tpu.utils import profiling
 
 
-def level_breakdown(lvl: Level, reps: int = 20) -> dict:
+def level_breakdown(lvl: Level, reps: int = 500) -> dict:
     """In-graph per-op table for one level, sub-ops of apply included."""
     bw = profiling._device_bw()
     itemsize = jnp.dtype(lvl.dtype).itemsize
@@ -52,7 +52,7 @@ def level_breakdown(lvl: Level, reps: int = 20) -> dict:
     def add(name, fn, args, bytes_needed, nnz_count=None):
         t = profiling.time_op(fn, *args, reps=reps, in_graph=True)
         rec = {
-            "ms": round(t * 1e3, 4),
+            "ms": round(t * 1e3, 6),
             "roofline_pct": round(100 * bytes_needed / bw / t, 2),
         }
         if nnz_count:
@@ -116,17 +116,17 @@ def main():
         bw = profiling._device_bw()
         if gmg.transfers:
             tr = gmg.transfers[0]
-            t = profiling.time_op(tr.restrict, u, reps=10, in_graph=True)
-            rep["restrict"] = {"ms": round(t * 1e3, 4),
+            t = profiling.time_op(tr.restrict, u, reps=200, in_graph=True)
+            rep["restrict"] = {"ms": round(t * 1e3, 6),
                                "roofline_pct": round(100 * 1.25 * field / bw / t, 2)}
             uc = jnp.asarray(
                 rng.standard_normal((gmg.levels[1].P, n, n)), dtype=dtype)
             t = profiling.time_op(
-                lambda x: tr.prolong_add(uc, x), u, reps=10, in_graph=True)
-            rep["prolong"] = {"ms": round(t * 1e3, 4),
+                lambda x: tr.prolong_add(uc, x), u, reps=200, in_graph=True)
+            rep["prolong"] = {"ms": round(t * 1e3, 6),
                               "roofline_pct": round(100 * 2.25 * field / bw / t, 2)}
-        t = profiling.time_op(gmg.apply, u, reps=5, in_graph=True)
-        rep["vcycle_V21_active"] = {"ms": round(t * 1e3, 4),
+        t = profiling.time_op(gmg.apply, u, reps=20, in_graph=True)
+        rep["vcycle_V21_active"] = {"ms": round(t * 1e3, 6),
                                     "levels": len(gmg.levels)}
         for k, v in rep.items():
             print(f"  {k:16s} {v}", flush=True)
