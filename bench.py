@@ -116,16 +116,12 @@ def main():
     rep = solver.report(u, f, jnp.asarray(exact))
     res_x = u
 
-    # stencil throughput: composite operator applications (nnz/s, 5-pt 2D)
-    apply_jit = jax.jit(solver.fine_level.apply)
-    u = res_x
-    apply_jit(u).block_until_ready()
-    reps = 20
-    t0 = time.time()
-    for _ in range(reps):
-        u = apply_jit(u)
-    u.block_until_ready()
-    apply_s = (time.time() - t0) / reps
+    # stencil throughput: composite operator applications (nnz/s, 5-pt 2D),
+    # calibrated in-graph timing (per-dispatch wall through the tunneled
+    # backend costs ~20-25 ms and would swamp the op)
+    from pressurepoissonsolver_tpu.utils.profiling import time_op
+
+    apply_s = time_op(solver.fine_level.apply, res_x, reps=200, in_graph=True)
     nnz_per_s = 5 * dof / apply_s
     # achieved fraction of HBM speed-of-light for the op's algorithmic
     # traffic (read u + write Au, f64)
