@@ -74,6 +74,18 @@ def build_parser(D: int) -> argparse.ArgumentParser:
     p.add_argument("--gmg-mid-sweeps", type=int, default=1)
     p.add_argument("--gmg-coarse-sweeps", type=int, default=1)
     p.add_argument("--gmg-cycle-type", type=str, default="V", choices=["V", "W"])
+    p.add_argument("--gmg-fac-smoothing", type=str, default="full",
+                   choices=["full", "active"],
+                   help="relax whole coarse levels (reference behavior) or "
+                   "only the FAC active set (newly-coarsened region)")
+    p.add_argument("--gmg-fac-ring", type=int, default=1,
+                   help="rings of neighbors around the active set to relax")
+    p.add_argument("--gmg-coarse-direct-dof", type=int, default=4096,
+                   help="stop the hierarchy and solve directly (dense "
+                   "inverse) once a level has at most this many DOF; 0 "
+                   "disables the direct coarse solve")
+    p.add_argument("--inner-tol", type=float, default=1e-5,
+                   help="inner Krylov relative tolerance of the ir solver")
     p.add_argument("--gmg-interpolator", type=str, default="constant",
                    choices=["constant", "linear"],
                    help="interlevel prolongation (DrctIntp / TriLinIntp)")
@@ -88,6 +100,9 @@ def build_parser(D: int) -> argparse.ArgumentParser:
                    help="write the assembled operator (scipy .npz CSR)")
     p.add_argument("--out-rhs", type=str, default=None,
                    help="write the RHS vector (.npy)")
+    p.add_argument("--out-gamma", type=str, default=None,
+                   help="write the converged interface (gamma) vector "
+                   "(.npy; --schur only — apps/3d/steady.cpp:570-574)")
     p.add_argument("--config", type=str, default=None, help="read options from ini file")
     p.add_argument("--output-config", type=str, default=None,
                    help="write the effective options to an ini file")
@@ -255,6 +270,10 @@ def main(D: int, argv=None) -> int:
         coarse_sweeps=args.gmg_coarse_sweeps,
         cycle_type=args.gmg_cycle_type,
         interpolator=args.gmg_interpolator,
+        fac_smoothing=args.gmg_fac_smoothing,
+        fac_active_ring=args.gmg_fac_ring,
+        coarse_direct=args.gmg_coarse_direct_dof > 0,
+        coarse_direct_max_dof=args.gmg_coarse_direct_dof or 4096,
     )
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     pdtype = jnp.float32 if args.dtype in ("float32", "mixed") else jnp.float64
@@ -325,12 +344,15 @@ def main(D: int, argv=None) -> int:
             # recover u from the converged interface values — the section the
             # reference times as "Patch Solve" (apps/3d/steady.cpp:433-439)
             timer.start("Patch Solve")
+            gamma_out = res.x
             u = solver._op.patch_solve(f, res.x)
             u.block_until_ready()
             timer.stop("Patch Solve")
             iter_line = f"Iterations: {int(res.iterations)}"
         elif args.solver == "ir":
-            u, info = solver.solve_refined(f, tol=args.tolerance)
+            u, info = solver.solve_refined(
+                f, tol=args.tolerance, inner_tol=args.inner_tol
+            )
             timer.stop("Linear Solve")
             iter_line = (
                 f"Iterations: {info['outer_iterations']} outer / "
@@ -379,6 +401,16 @@ def main(D: int, argv=None) -> int:
         import numpy as _np
 
         _np.save(args.out_rhs, _np.asarray(f))
+    if args.out_gamma:
+        import numpy as _np
+
+        if args.schur:
+            g = gamma_out
+            op = solver._op
+            g = op.gamma_global(g) if hasattr(op, "gamma_global") else _np.asarray(g)
+        else:  # composite path: interpolate the traces of the solution
+            g = _np.asarray(solver.fine_level.interpolate(u))
+        _np.save(args.out_gamma, g)
     if args.out_json:
         if args.solver == "ir":
             iters = {

@@ -155,3 +155,33 @@ def test_cli_crs_matches_wrap(tmp_path):
         )
         outs.append(json.loads(out.read_text()))
     assert abs(outs[0]["error"] - outs[1]["error"]) < 1e-9
+
+
+def test_cli_gmg_and_ir_knobs(tmp_path):
+    """Round-3 CLI parity: fac-smoothing/coarse-direct/inner-tol knobs and
+    --out-gamma (reference exposes all cycle knobs via CLI11+ini;
+    apps/3d/steady.cpp:570-574 saves gamma)."""
+    out_json = str(tmp_path / "out.json")
+    gamma_path = str(tmp_path / "gamma.npy")
+    rc = main(
+        2,
+        [
+            "--mesh", "/root/reference/apps/2d/meshes/2d2ref.bin",
+            "-n", "8", "--solver", "ir", "-t", "1e-10",
+            "--inner-tol", "1e-4",
+            "--gmg-fac-smoothing", "active", "--gmg-fac-ring", "1",
+            "--gmg-pre-sweeps", "2", "--gmg-coarse-direct-dof", "2048",
+            "--out-json", out_json,
+        ],
+    )
+    assert rc == 0
+    rep = json.load(open(out_json))
+    assert rep["residual"] < 1e-10
+    assert rep["outer_iterations"] >= 1 and rep["inner_iterations"] >= 1
+
+    rc = main(2, ["--uniform", "2", "-n", "8", "--schur", "-t", "1e-12",
+                  "--out-gamma", gamma_path, "--out-json", out_json])
+    assert rc == 0
+    g = np.load(gamma_path)
+    assert g.ndim == 2 and g.shape[1] == 8 and np.isfinite(g).all()
+    assert np.abs(g).max() > 0
