@@ -408,6 +408,23 @@ class GMGCycle:
                     D = levels[k].D
                     self._active[k] = jnp.asarray(mask.reshape((-1,) + (1,) * D))
 
+    def attach_sharded_active(self) -> None:
+        """Upgrade the sharded active-set fallback (masked full sweeps) to
+        per-shard subset smoothers — call after the levels were wrapped in
+        halo ``ShardedLevel``s (VERDICT r2 #5)."""
+        from .parallel.halo import ShardedActiveSmoother, ShardedLevel
+
+        for k in range(1, len(self.levels)):
+            mask = self._active[k]
+            if not isinstance(self.levels[k], ShardedLevel):
+                continue
+            if mask is None or isinstance(mask, str):
+                continue
+            m = np.asarray(mask).reshape(-1).astype(bool)
+            self._asmooth[k] = ShardedActiveSmoother(self.levels[k], m)
+            ring = _expand_ring(self.levels[k].pl, m.copy(), 1)
+            self._aapply[k] = ShardedActiveSmoother(self.levels[k], ring)
+
     def _build_coarse_direct(self) -> None:
         from .matrix import assemble_composite
 

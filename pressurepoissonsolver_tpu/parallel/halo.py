@@ -654,6 +654,151 @@ class ShardedLevel:
         return self.base.num_ifaces
 
 
+class ShardedActiveSmoother:
+    """FAC active-set smoothing for a :class:`ShardedLevel`: per-shard
+    subset compute instead of masked full sweeps.
+
+    Each shard's active patches are padded to the max count across shards
+    (``Amax``), so every shard runs the same-shaped program: gather the
+    active rows, fold the interface traces, batch-solve only those
+    patches, and route the solutions back with a padded row gather + mask.
+    The interface values come from the level's standard cut-face exchange
+    (``_interp_local``), so cross-shard trace sources need no extra
+    bookkeeping.  This is the sharded counterpart of
+    ``ops.level_ops.ActiveSmoother`` (classical FAC relaxation; the
+    reference relaxes every patch of every level,
+    ``GMG/FFTBlockJacobiSmoother.h:31-59``)."""
+
+    def __init__(self, sl: ShardedLevel, active: np.ndarray):
+        self.sl = sl
+        ndev, Pl, D, n = sl.ndev, sl.Pl, sl.D, sl.n
+        self.D, self.n = D, n
+        pl = sl.pl
+        act_by = [
+            np.where(active[r * Pl:(r + 1) * Pl])[0] for r in range(ndev)
+        ]
+        self.Amax = Amax = max(max((len(a) for a in act_by), default=0), 1)
+        act = np.full((ndev, Amax), Pl, dtype=np.int32)  # pad -> zero row
+        inv = np.full((ndev, Pl), Amax, dtype=np.int32)  # pad -> zero row
+        mask = np.zeros((ndev, Pl), dtype=bool)
+        ns = pl.ns_shape
+        h2 = np.asarray(sl.base.h2inv, dtype=np.float64)
+        coef = np.asarray(sl.base.ghost_coef, dtype=np.float64)
+        denom = np.asarray(sl._denom, dtype=np.float64)
+        ifidx = np.asarray(sl._ifidx)
+        imask = np.asarray(sl._imask)
+        h2a = np.ones((ndev, Amax, D))
+        coefa = np.zeros((ndev, Amax, 2 * D))
+        dena = np.ones((ndev, Amax) + ns)
+        gfi = np.full((ndev, Amax, 2 * D), ifidx.max(initial=1), dtype=np.int32)
+        gfm = np.zeros((ndev, Amax, 2 * D), dtype=bool)
+        for r, sel in enumerate(act_by):
+            k = len(sel)
+            act[r, :k] = sel
+            inv[r, sel] = np.arange(k)
+            mask[r, sel] = True
+            gsel = sel + r * Pl
+            h2a[r, :k] = h2[gsel]
+            coefa[r, :k] = coef[gsel]
+            dena[r, :k] = denom[gsel]
+            gfi[r, :k] = ifidx[r, sel]
+            gfm[r, :k] = imask[r, sel]
+        f = jnp.asarray
+        self._act = f(act)
+        self._inv = f(inv)
+        self._mask = f(mask.reshape((ndev, Pl) + (1,) * D))
+        self._h2a = f(h2a)
+        self._coefa = f(coefa)
+        self._dena = f(dena)
+        self._gfi = f(gfi)
+        self._gfm = f(gfm)
+        if not sl._single_group:
+            tidx = np.asarray(sl._tidx)
+            pin = np.asarray(sl._pinmask)
+            ta = np.zeros((ndev, Amax, D, 2), dtype=np.int32)
+            pa = np.zeros((ndev, Amax), dtype=bool)
+            for r, sel in enumerate(act_by):
+                gsel = sel + r * Pl
+                ta[r, : len(sel)] = tidx[gsel]
+                pa[r, : len(sel)] = pin[gsel]
+            self._tidxa = f(ta)
+            self._pina = f(pa)
+        self._jit = {}
+
+    @staticmethod
+    def _rows(x, idx):
+        """Leading-axis gather through the flattened rank-2 view."""
+        return x.reshape(x.shape[0], -1)[idx].reshape(
+            (idx.shape[0],) + x.shape[1:]
+        )
+
+    def _gf_act(self, gamma_pad, me, dtype):
+        gf = gamma_pad[self._gfi[me]]  # [Amax, 2D, m]
+        return gf * self._gfm[me][..., None].astype(dtype)
+
+    def _solve_subset(self, fa, me):
+        sl = self.sl
+        if sl._single_group:
+            return sl._solve_local(fa, self._dena[me].astype(fa.dtype))
+        return sl._solve_local(
+            fa, self._dena[me].astype(fa.dtype), self._tidxa[me], self._pina[me]
+        )
+
+    def _scatter(self, sol, me, base):
+        pad = jnp.zeros((1,) + sol.shape[1:], dtype=sol.dtype)
+        routed = self._rows(jnp.concatenate([sol, pad], axis=0), self._inv[me])
+        return jnp.where(self._mask[me], routed, base)
+
+    def _smap(self, name, fn, nargs):
+        if name not in self._jit:
+            self._jit[name] = jax.jit(
+                shard_map(fn, self.sl.mesh, in_specs=(P("p"),) * nargs,
+                          out_specs=P("p"))
+            )
+        return self._jit[name]
+
+    def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.level_ops import _fold_faces_flat
+
+        def g(f_loc, u_loc):
+            me = jax.lax.axis_index("p")
+            gamma_pad = self.sl._interp_local(u_loc, me)
+            fa = self._rows(f_loc, self._act[me])
+            gf = self._gf_act(gamma_pad, me, f_loc.dtype)
+            fa = _fold_faces_flat(fa, gf, self._h2a[me].astype(f_loc.dtype),
+                                  self.D, self.n)
+            return self._scatter(self._solve_subset(fa, me), me, u_loc)
+
+        return self._smap("smooth", g, 2)(f, u)
+
+    def smooth_zero(self, f: jnp.ndarray) -> jnp.ndarray:
+        def g(f_loc):
+            me = jax.lax.axis_index("p")
+            fa = self._rows(f_loc, self._act[me])
+            sol = self._solve_subset(fa, me)
+            return self._scatter(sol, me, jnp.zeros((), dtype=f_loc.dtype))
+
+        return self._smap("smooth0", g, 1)(f)
+
+    def apply_scattered(self, u: jnp.ndarray) -> jnp.ndarray:
+        """``A u`` on the subset, scattered into zeros (see
+        ``ActiveSmoother.apply_scattered`` for the exactness condition)."""
+        from ..ops.level_ops import _star_stencil
+
+        def g(u_loc):
+            me = jax.lax.axis_index("p")
+            gamma_pad = self.sl._interp_local(u_loc, me)
+            ua = self._rows(u_loc, self._act[me])
+            gf = self._gf_act(gamma_pad, me, u_loc.dtype)
+            out = _star_stencil(
+                ua, gf, self._coefa[me].astype(u_loc.dtype),
+                self._h2a[me].astype(u_loc.dtype), self.D, self.n,
+            )
+            return self._scatter(out, me, jnp.zeros((), dtype=u_loc.dtype))
+
+        return self._smap("apply_sc", g, 1)(u)
+
+
 class ShardedTransfer:
     """GMG restriction/prolongation with per-offset parent/child exchange.
 

@@ -135,6 +135,9 @@ class PoissonSolver:
                     for k, tr in enumerate(self.gmg.transfers)
                 ]
                 self.gmg.levels = wrapped
+                # FAC active-set smoothing: per-shard subset compute
+                # instead of the masked-full-sweep fallback
+                self.gmg.attach_sharded_active()
         self._solve_jit = None
         self._apply_jit = None
         self._fine_low = None
