@@ -28,8 +28,12 @@ from pressurepoissonsolver_tpu.ops.level_ops import Level, extract_faces
 from pressurepoissonsolver_tpu.utils import profiling
 
 
-def level_breakdown(lvl: Level, reps: int = 500) -> dict:
-    """In-graph per-op table for one level, sub-ops of apply included."""
+def level_breakdown(lvl: Level, reps: int = 500, light: bool = False) -> dict:
+    """In-graph per-op table for one level, sub-ops of apply included.
+
+    ``light`` times only the composite-apply chain (what the IR outer
+    loop runs in f64) — the full f64 table costs ~20 min of tunnel
+    compiles for ops production never runs in f64."""
     bw = profiling._device_bw()
     itemsize = jnp.dtype(lvl.dtype).itemsize
     cells = lvl.P * lvl.pl.cells_per_patch
@@ -62,6 +66,12 @@ def level_breakdown(lvl: Level, reps: int = 500) -> dict:
     # sub-ops of the composite apply
     add("extract_faces", lambda x: extract_faces(x, D, n, lvl.face_depth),
         (u,), field + face_bytes)
+    if light:
+        add("interpolate", lvl.interpolate, (u,), field + face_bytes)
+        add("stencil_only", lambda x: lvl._stencil_with_faces(x, gf), (u,),
+            2 * field, nnz)
+        add("apply", lvl.apply, (u,), 2 * field, nnz)
+        return out
     add("pipe_interpolate", lambda ff: lvl._pipe.interpolate(ff, m),
         (faces,), 2 * face_bytes)
     add("interpolate", lvl.interpolate, (u,), field + face_bytes)
@@ -99,11 +109,24 @@ def main():
     variants = [(jnp.float32, "f32"), (jnp.float64, "f64")]
     if os.environ.get("PPS_PROFILE_DTYPE") == "f32":
         variants = variants[:1]
+    out_path = os.environ.get("PPS_PROFILE_OUT")
+
+    def dump():
+        if out_path:
+            with open(out_path, "w") as fh:
+                json.dump(report, fh, indent=1)
+
     for dtype, name in variants:
         lvl = Level(h.finest, dtype=dtype)
         print(f"== {name}: P={lvl.P} n={n} DOF={lvl.P * n**2} "
               f"ifaces={lvl.num_ifaces}", flush=True)
-        rep = level_breakdown(lvl)
+        rep = level_breakdown(lvl, light=(name == "f64"))
+        if name == "f64":
+            for k, v in rep.items():
+                print(f"  {k:16s} {v}", flush=True)
+            report[name] = rep
+            dump()
+            continue
         gmg = build_gmg(h, dtype=dtype,
                         opts=CycleOpts(pre_sweeps=2, fac_smoothing="active"))
         gmg.levels[0] = lvl
@@ -131,11 +154,9 @@ def main():
         for k, v in rep.items():
             print(f"  {k:16s} {v}", flush=True)
         report[name] = rep
+        dump()
 
-    out_path = os.environ.get("PPS_PROFILE_OUT")
     if out_path:
-        with open(out_path, "w") as fh:
-            json.dump(report, fh, indent=1)
         print(f"wrote {out_path}", flush=True)
 
 
