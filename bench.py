@@ -82,7 +82,7 @@ def main():
     f_np, exact = init_problem(hierarchy.finest, get_problem("trig", 2))
     f = jnp.asarray(f_np, dtype=opts.dtype)
 
-    inner_tol = float(os.environ.get("PPS_BENCH_INNER_TOL", "1e-5"))
+    inner_tol = float(os.environ.get("PPS_BENCH_INNER_TOL", "1e-4"))
 
     def run_solve():
         if dtype_name == "ir":

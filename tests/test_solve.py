@@ -68,12 +68,12 @@ def test_gmg_iterations_mesh_independent():
     """The algorithmic-quality bar (BASELINE.md): iteration counts should be
     nearly mesh-independent with the GMG preconditioner."""
     its = []
-    for levels in (5, 6, 7):  # 16k, 65k, 262k DOF — above the direct-coarse cap
+    for levels in (5, 6, 7, 8):  # 16k ... 1.05M DOF — above the direct-coarse cap
         res, rep = _solve(2, levels=levels, n=8)
         assert rep["residual"] < 1e-10
         its.append(int(res.iterations))
     # reference quality bar: 15-19 iters over a 64x DOF range (BASELINE.md);
-    # require a spread of at most 2 over an 16x range here
+    # require a spread of at most 2 over the same 64x range here
     assert max(its) <= min(its) + 2, its
 
 
