@@ -325,11 +325,14 @@ class ShardedLevel:
             np.asarray(lvl._denom_sorted)[inv_perm]
         )  # slot order, [P, *ns]
         self._single_group = len(lvl._solve_groups) == 1
+        self._kron = None
         if self._single_group:
             g = lvl._solve_groups[0]
             self._fwd = [lvl._tmats[k] for k in g.fwd_kinds]
             self._inv = [lvl._tmats[k] for k in g.inv_kinds]
             self._pin = g.pin_dc
+            if lvl._st.kron:  # f32 fast path (see ops.level_ops)
+                self._kron = lvl._st.kron[0]
         else:
             kinds = sorted(lvl._tmats.keys())
             kpos = {k: i for i, k in enumerate(kinds)}
@@ -433,17 +436,9 @@ class ShardedLevel:
         return out
 
     def _fold_local(self, fc, gf, h2inv):
-        D, n = self.D, self.n
-        Pl = fc.shape[0]
-        fs = (Pl,) + (n,) * (D - 1)
-        for a in range(D):
-            ax = _arr_axis(D, a)
-            h2i = h2inv[:, a].reshape(fs[:1] + (1,) * (D - 1))
-            idx_lo = tuple([slice(None)] * ax + [0])
-            idx_hi = tuple([slice(None)] * ax + [n - 1])
-            fc = fc.at[idx_lo].add(-2.0 * h2i * gf[:, 2 * a].reshape(fs))
-            fc = fc.at[idx_hi].add(-2.0 * h2i * gf[:, 2 * a + 1].reshape(fs))
-        return fc
+        from ..ops.level_ops import _fold_faces_flat
+
+        return _fold_faces_flat(fc, gf, h2inv, self.D, self.n)
 
     def _solve_local(self, fc, denom, tidx=None, pinmask=None):
         """Local batched spectral solve in patch-slot order."""
@@ -451,6 +446,24 @@ class ShardedLevel:
         x = fc
         scale = (2.0 / n) ** D
         if self._single_group:
+            if self._kron is not None:  # f32 Kronecker fast path
+                Pl = x.shape[0]
+                cells = int(np.prod(x.shape[1:]))
+                xf = x.reshape(Pl, cells)
+                if D == 2:
+                    W1, W2 = self._kron
+                    y = (xf @ W1.astype(x.dtype)) / denom.reshape(Pl, cells)
+                    if self._pin:
+                        y = y.at[:, 0].set(0.0)
+                    return (y @ W2.astype(x.dtype)).reshape(x.shape)
+                W1, W2, Tz1, Tz2 = self._kron
+                x3 = xf.reshape(Pl, n, cells // n)
+                y = jnp.einsum("pwl,zw->pzl", x3, Tz1.astype(x.dtype))
+                y = (y @ W1.astype(x.dtype)) / denom.reshape(Pl, n, cells // n)
+                if self._pin:
+                    y = y.at[:, 0, 0].set(0.0)
+                y = jnp.einsum("pwl,zw->pzl", y, Tz2.astype(x.dtype))
+                return (y @ W2.astype(x.dtype)).reshape(x.shape)
             for a in range(D):
                 x = Level._apply_transform(
                     self._fwd[a].astype(x.dtype), x, _arr_axis(D, a)
@@ -918,7 +931,46 @@ class ShardedTransfer:
                         inv[r, tgt[r, j]] = base + j
         self._pseg = [(o, src_j, G) for (o, src_j, tgt, base, G) in seg_meta]
         self._pinv = jnp.asarray(inv)
+        # f32 fast path: pooled-child placement in Kronecker form (flat
+        # [R, (n/2)^D] rows @ [(n/2)^D, n^D]); prolongation reuses the
+        # wrapped Transfer's per-orthant Kronecker matrices
+        self._Sp = None
+        if getattr(transfer, "_use_kron", False):
+            emats = [_placement_matrix(n, b) for b in range(2)]
+            self._Sp = []
+            for o in range(1 << D):
+                k = np.kron(emats[(o >> 1) & 1], emats[o & 1]).T
+                if D == 2:
+                    self._Sp.append(jnp.asarray(k, dtype=jnp.float32))
+                else:
+                    self._Sp.append((
+                        jnp.asarray(k, dtype=jnp.float32),
+                        jnp.asarray(emats[(o >> 2) & 1], dtype=jnp.float32),
+                    ))
         self._jit = {}
+
+    def _place_o(self, rows: jnp.ndarray, o: int) -> jnp.ndarray:
+        """Place pooled-child flat rows ``[R, (n/2)^D]`` into the
+        orthant-``o`` block of flat parent rows ``[R, n^D]``."""
+        D, n = self.D, self.n
+        hp = jax.lax.Precision.HIGHEST
+        if self._Sp is not None:
+            if D == 2:
+                return jnp.dot(rows, self._Sp[o].astype(rows.dtype),
+                               precision=hp)
+            Wyx, Ez = self._Sp[o]
+            R = rows.shape[0]
+            x3 = rows.reshape(R, n // 2, (n // 2) ** 2)
+            y = jnp.einsum("pwl,zw->pzl", x3, Ez.astype(rows.dtype),
+                           precision=hp)
+            y = jnp.matmul(y, Wyx.astype(rows.dtype), precision=hp)
+            return y.reshape(R, -1)
+        emats = [jnp.asarray(_placement_matrix(n, b)) for b in range(2)]
+        block = rows.reshape((-1,) + (n // 2,) * D)
+        for a in range(D):
+            E = emats[(o >> a) & 1].astype(block.dtype)
+            block = _axis_matmul(E, block, 1 + (D - 1 - a))
+        return block.reshape(rows.shape[0], -1)
 
     def _smap(self, name, fn, nargs):
         if name not in self._jit:
@@ -930,58 +982,57 @@ class ShardedTransfer:
 
     def restrict(self, fine_u: jnp.ndarray) -> jnp.ndarray:
         D, n = self.D, self.n
-        emats = [jnp.asarray(_placement_matrix(n, b)) for b in range(2)]
+        cells = n**D
+        hc = (n // 2) ** D
 
         def f(u_loc):
             me = jax.lax.axis_index("p")
             # pool children locally before sending (surface-optimal comm:
-            # (n/2)^D values per cross-shard child)
+            # (n/2)^D values per cross-shard child); all buffers and
+            # gathers are flat rank-2 rows (rank-3 gathers ~8x slower)
             shape = [u_loc.shape[0]]
             for _ in range(D):
                 shape += [n // 2, 2]
             pooled = u_loc.reshape(shape).mean(
                 axis=tuple(range(2, 2 * D + 2, 2)))
-            pbuf = self.ex_pool.run(pooled, me)
-            fbuf = self.ex_full.run(u_loc, me)
-            # orthant assembly via 0/1 placement matmuls (MXU-tiled; the
-            # concat-merge tree on (n/2)-minor blocks pads ~16x on TPU)
+            pbuf = self.ex_pool.run(pooled.reshape(-1, hc), me)
+            fbuf = self.ex_full.run(u_loc.reshape(-1, cells), me)
             assembled = None
             for o in range(1 << D):
-                block = pbuf[self._child_src[me][:, o]]
-                for a in range(D):
-                    E = emats[(o >> a) & 1].astype(block.dtype)
-                    block = _axis_matmul(E, block, 1 + (D - 1 - a))
+                block = self._place_o(pbuf[self._child_src[me][:, o]], o)
                 assembled = block if assembled is None else assembled + block
-            return assembled + fbuf[self._pt_src[me]]
+            out = assembled + fbuf[self._pt_src[me]]
+            return out.reshape((-1,) + (n,) * D)
 
         return self._smap("restrict", f, 1)(fine_u)
 
     def prolong_add(self, coarse_u: jnp.ndarray, fine_u: jnp.ndarray) -> jnp.ndarray:
         D, n = self.D, self.n
+        cells = n**D
         t = self.t
 
         def f(uc_loc, uf_loc):
             me = jax.lax.axis_index("p")
-            buf = self.ex_par.run(uc_loc, me)
+            buf = self.ex_par.run(uc_loc.reshape(-1, cells), me)
             mats = t._wlin if self.prolong_mode == "linear" else t._wconst
             parts = []
             for o, src_j, G in self._pseg:
-                rows = buf[src_j[me]]  # [G, n^D] parent patches
+                rows = buf[src_j[me]]  # [G, n^D] flat parent patches
                 if o is None:
                     parts.append(rows)  # pass-through copy
                 else:
-                    block = rows
-                    for a in range(D):
-                        W = mats[(o >> a) & 1].astype(block.dtype)
-                        block = _axis_matmul(W, block, 1 + (D - 1 - a))
-                    parts.append(block)
+                    parts.append(t._orthant_apply(
+                        rows, o,
+                        t._Wp if getattr(t, "_use_kron", False) else None,
+                        mats,
+                    ))
             if not parts:
                 return uf_loc
             stacked = (jnp.concatenate(parts, axis=0)
                        if len(parts) > 1 else parts[0])
-            zrow = jnp.zeros((1,) + stacked.shape[1:], dtype=stacked.dtype)
+            zrow = jnp.zeros((1, cells), dtype=stacked.dtype)
             stacked_pad = jnp.concatenate([stacked, zrow], axis=0)
-            return uf_loc + stacked_pad[self._pinv[me]]
+            return uf_loc + stacked_pad[self._pinv[me]].reshape(uf_loc.shape)
 
         return self._smap("prolong", f, 2)(coarse_u, fine_u)
 
