@@ -501,6 +501,15 @@ class Level:
         if_flat[np.asarray(t.iface_side_mask) == 0] = t.num_ifaces
         self._iface_flat = f(if_flat.reshape(-1).astype(np.int32))
 
+        # --- direct gf pipeline (apply/smooth fast path) -------------------
+        # For a same-level interface the ghost closure collapses:
+        # ghost = 2*gamma - u_b = 2*(u_b + u_nbr)/2 - u_b = u_nbr — the
+        # classic halo.  So gf on "direct" sides is 0.5*own + 0.5*nbr (one
+        # neighbor-face row gather), and only the refinement-boundary
+        # interfaces need the full contribution pipeline (a compact one).
+        # The Schur path keeps the full-gamma pipeline (`interpolate`).
+        self._build_gf_tables(t, dtype)
+
         # stencil coefficients
         h2inv = (1.0 / patch_level.spacings**2).astype(np.float64)
         self.h2inv = f(h2inv).astype(dtype)  # [P, D]
@@ -518,6 +527,111 @@ class Level:
         self.mesh = None
         self._psh = None
         self._gsh = None
+
+    def _build_gf_tables(self, t, dtype) -> None:
+        """Tables of the direct gf pipeline (see __init__)."""
+        D, P, m = self.D, self.P, self.m
+        S2 = 2 * D
+        S2f = S2 * self.face_depth
+        NR = P * S2f  # face-row count; combined source = [faces | gamma_ref | 0]
+        by_iface: dict = {}
+        for c in range(len(t.contrib_patch)):
+            by_iface.setdefault(int(t.contrib_iface[c]), []).append(c)
+        isidx = np.asarray(t.iface_side_idx)
+        ismask = np.asarray(t.iface_side_mask)
+        readers: dict = {}
+        for p in range(P):
+            for s in range(S2):
+                if ismask[p, s]:
+                    readers.setdefault(int(isidx[p, s]), []).append((p, s))
+        # direct = exactly two scalar-0.5 contributions, each being the
+        # boundary face row of one of the interface's two reader sides
+        direct = {}
+        for i, lst in by_iface.items():
+            if len(lst) != 2 or len(readers.get(i, ())) != 2:
+                continue
+            ok = all(
+                self._case_scalar[int(t.contrib_case[c])] == 0.5
+                and int(t.contrib_side[c]) % self.face_depth == 0
+                for c in lst
+            )
+            crows = {
+                int(t.contrib_patch[c]) * S2f + int(t.contrib_side[c])
+                for c in lst
+            }
+            orows = {
+                p * S2f + s * self.face_depth for p, s in readers[i]
+            }
+            if ok and crows == orows:
+                direct[i] = lst
+        ref_ids = np.array(
+            sorted(i for i in by_iface if i not in direct), dtype=np.int64
+        )
+        ref_remap = np.full(max(t.num_ifaces, 1), -1, dtype=np.int64)
+        ref_remap[ref_ids] = np.arange(len(ref_ids))
+        self._nref = len(ref_ids)
+        self._gf_ref_pipe = None
+        if self._nref:
+            keep = ref_remap[t.contrib_iface] >= 0
+            case_T = np.asarray(self._case_T, dtype=np.float64)
+            self._gf_ref_pipe = _build_contrib_pipeline(
+                t.contrib_patch[keep], t.contrib_side[keep],
+                t.contrib_case[keep], ref_remap[t.contrib_iface[keep]],
+                self._nref, case_T, self._case_scalar, dtype, S2f, P,
+            )
+        mix_idx = np.full((P, S2), NR + self._nref, dtype=np.int64)  # pad->0 row
+        w_own = np.zeros((P, S2, 1))
+        w_mix = np.zeros((P, S2, 1))
+        for p in range(P):
+            for s in range(S2):
+                if not ismask[p, s]:
+                    continue
+                i = int(isidx[p, s])
+                if i in direct:
+                    own_row = p * S2f + s * self.face_depth
+                    rows = [
+                        int(t.contrib_patch[c]) * S2f + int(t.contrib_side[c])
+                        for c in direct[i]
+                    ]
+                    if own_row in rows:
+                        rows.remove(own_row)
+                        mix_idx[p, s] = rows[0]
+                        w_own[p, s] = 0.5
+                        w_mix[p, s] = 0.5
+                        continue
+                # refinement (or irregular) side: gf = full gamma of iface i
+                mix_idx[p, s] = NR + ref_remap[i]
+                w_mix[p, s] = 1.0
+                if ref_remap[i] < 0:  # direct iface read by a third side
+                    mix_idx[p, s] = NR + self._nref  # cannot happen; pad
+        f = jnp.asarray
+        self._gf_mix_idx = f(mix_idx.reshape(-1).astype(np.int32))
+        self._gf_w_own = f(w_own).astype(dtype)
+        self._gf_w_mix = f(w_mix).astype(dtype)
+
+    def _gf_faces(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Per-patch-side interface traces ``[P, 2D, m]`` computed directly
+        (direct sides: halo of neighbor faces; refinement sides: compact
+        contribution pipeline) — the apply/smooth fast path."""
+        D, m, P = self.D, self.m, self.P
+        S2 = 2 * D
+        if self.num_ifaces == 0:
+            return jnp.zeros((P, S2, m), dtype=u.dtype)
+        faces = extract_faces(u, D, self.n, self.face_depth)  # [P, S2f, m]
+        ff = faces.reshape(-1, m)
+        own = faces.reshape(P, S2, self.face_depth, m)[:, :, 0]  # [P, S2, m]
+        if self._gf_ref_pipe is not None:
+            gref = self._gf_ref_pipe.interpolate(faces, m)
+        else:
+            gref = jnp.zeros((0, m), dtype=u.dtype)
+        combined = jnp.concatenate(
+            [ff, gref, jnp.zeros((1, m), dtype=u.dtype)], axis=0
+        )
+        mix = combined[self._gf_mix_idx].reshape(P, S2, m)
+        return (
+            self._gf_w_own.astype(u.dtype) * own
+            + self._gf_w_mix.astype(u.dtype) * mix
+        )
 
     # -- sharding ------------------------------------------------------------
 
@@ -604,8 +718,10 @@ class Level:
         )
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Composite-grid operator ``A u`` (``SchurHelper.h:360-376``)."""
-        return self.apply_with_interface(u, self.interpolate(u))
+        """Composite-grid operator ``A u`` (``SchurHelper.h:360-376``),
+        via the direct gf pipeline (same values as
+        ``apply_with_interface(u, interpolate(u))``)."""
+        return self._stencil_with_faces(u, self._gf_faces(u))
 
     def _fold_gamma_into_rhs(self, fc: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
         """``f_slice -= 2/h^2 * gamma`` on every neighbored side
@@ -651,8 +767,12 @@ class Level:
         return self._constrain_p(_spectral_apply(self._st, fc, self.D, self.n))
 
     def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-        """One FFT block-Jacobi sweep (``SchurHelper::solveWithSolution``)."""
-        return self.patch_solve(f, self.interpolate(u))
+        """One FFT block-Jacobi sweep (``SchurHelper::solveWithSolution``),
+        via the direct gf pipeline."""
+        if self.patch_solver_kind == "bcgs":
+            return self.patch_solve(f, self.interpolate(u))
+        fc = self._fold_faces_into_rhs(f, self._gf_faces(u))
+        return self._spectral_solve(fc)
 
     def smooth_zero(self, f: jnp.ndarray) -> jnp.ndarray:
         """``smooth(f, 0)``: with a zero iterate the interface traces are

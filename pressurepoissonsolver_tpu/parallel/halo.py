@@ -318,6 +318,124 @@ class ShardedLevel:
         self._ifidx = jnp.asarray(ifidx)
         self._imask = jnp.asarray(imask)
 
+        # ---- direct gf tables (apply/smooth fast path) ---------------------
+        # Same observation as Level._build_gf_tables: on a same-level
+        # interface ghost = u_nbr, so gf = 0.5*own + 0.5*nbr where the nbr
+        # face row is already in the cut-face exchange buffer; only the
+        # refinement-boundary interfaces run the contribution pipeline.
+        by_if: Dict[int, List[int]] = {}
+        for c in range(C):
+            by_if.setdefault(int(c_iface[c]), []).append(c)
+        scalar_of = lvl._case_scalar
+        fd = self.face_depth
+        g_readers: Dict[int, List[Tuple[int, int]]] = {}
+        for p in range(Pg):
+            for s in range(S2):
+                if t.iface_side_mask[p, s]:
+                    g_readers.setdefault(
+                        int(t.iface_side_idx[p, s]), []
+                    ).append((p, s))
+        direct: Dict[int, List[int]] = {}
+        for i, lst in by_if.items():
+            if len(lst) != 2 or len(g_readers.get(i, ())) != 2:
+                continue
+            ok = all(
+                scalar_of[int(c_case[c])] == 0.5
+                and int(c_side[c]) % fd == 0
+                for c in lst
+            )
+            crows = {
+                int(c_patch[c]) * S2f + int(c_side[c]) for c in lst
+            }
+            orows = {p * S2f + s * fd for p, s in g_readers[i]}
+            if ok and crows == orows:
+                direct[i] = lst
+        # per-shard refinement interfaces (compact numbering)
+        need_ref = [[i for i in lst if i not in direct] for lst in need]
+        loc_ref = [{i: k for k, i in enumerate(lst)} for lst in need_ref]
+        NRg = max((len(lst) for lst in need_ref), default=0)
+        self.NRg = NRg
+        # restricted contribution tables (refinement ifaces only)
+        percase_r: List[List[List[Tuple[int, int]]]] = [
+            [[] for _ in range(ncase)] for _ in range(ndev)
+        ]
+        for c in range(C):
+            i = int(c_iface[c])
+            if i in direct:
+                continue
+            p, s = int(c_patch[c]), int(c_side[c])
+            q = int(shard_of[p])
+            k = int(c_case[c])
+            local_row = (p - q * Pl) * S2f + s
+            for r in readers.get(i, ()):
+                src = (
+                    local_row if r == q
+                    else self.exchange.recv_index(r, q, local_row)
+                )
+                percase_r[r][k].append((src, loc_ref[r][i]))
+        Ck_r = [
+            max(len(percase_r[r][k]) for r in range(ndev))
+            for k in range(ncase)
+        ]
+        Ctot_r = sum(Ck_r)
+        csrc_r = np.full((ndev, max(Ctot_r, 1)), buf_pad, dtype=np.int32)
+        segs_r = []
+        by_if_r = [[[] for _ in range(max(NRg, 1))] for _ in range(ndev)]
+        pos = 0
+        Kif_r = 1
+        for k in range(ncase):
+            if Ck_r[k]:
+                segs_r.append((k, pos, pos + Ck_r[k]))
+            for r in range(ndev):
+                for j, (src, li) in enumerate(percase_r[r][k]):
+                    csrc_r[r, pos + j] = src
+                    by_if_r[r][li].append(pos + j)
+            pos += Ck_r[k]
+        for r in range(ndev):
+            for lst in by_if_r[r]:
+                Kif_r = max(Kif_r, len(lst))
+        gath_r = np.full((ndev, max(NRg, 1), Kif_r), max(Ctot_r, 1),
+                         dtype=np.int32)
+        for r in range(ndev):
+            for li, lst in enumerate(by_if_r[r]):
+                gath_r[r, li, : len(lst)] = lst
+        self._segs_ref = segs_r
+        self._csrc_ref = jnp.asarray(csrc_r)
+        self._gath_ref = jnp.asarray(gath_r)
+        # per-side source into [buf | gamma_ref | implicit zero via buf pad]
+        buf_zero = self.exchange.buf_rows  # the zero row of the buffer
+        gfsrc = np.full((ndev, Pl, S2), buf_zero, dtype=np.int32)
+        gfw_own = np.zeros((ndev, Pl, S2, 1))
+        gfw_mix = np.zeros((ndev, Pl, S2, 1))
+        for p in range(Pg):
+            r = int(shard_of[p])
+            pl_ = p - r * Pl
+            for s in range(S2):
+                if not t.iface_side_mask[p, s]:
+                    continue
+                i = int(t.iface_side_idx[p, s])
+                if i in direct:
+                    own_row = pl_ * S2f + s * fd
+                    rows = []
+                    for c in direct[i]:
+                        cp, cs = int(c_patch[c]), int(c_side[c])
+                        q = int(shard_of[cp])
+                        lr = (cp - q * Pl) * S2f + cs
+                        rows.append(
+                            lr if q == r
+                            else self.exchange.recv_index(r, q, lr)
+                        )
+                    rows.remove(own_row)
+                    gfsrc[r, pl_, s] = rows[0]
+                    gfw_own[r, pl_, s] = 0.5
+                    gfw_mix[r, pl_, s] = 0.5
+                else:
+                    gfsrc[r, pl_, s] = buf_zero + 1 + loc_ref[r][i]
+                    gfw_mix[r, pl_, s] = 1.0
+        self._gfsrc = jnp.asarray(gfsrc)
+        self._gfw_own = jnp.asarray(gfw_own)
+        self._gfw_mix = jnp.asarray(gfw_mix)
+
         # ---- local spectral-solve data ------------------------------------
         pl = lvl.pl
         inv_perm = np.asarray(lvl._solver_inv_perm)
@@ -389,6 +507,45 @@ class ShardedLevel:
         gamma_pad = self._interp_local(u_loc, me)
         gf = gamma_pad[self._ifidx[me]]  # [Pl, 2D, m]
         return gf * self._imask[me][..., None].astype(gf.dtype)
+
+    def _gf_direct_local(self, u_loc, me):
+        """gf [Pl, 2D, m] via the direct pipeline: direct sides read the
+        neighbor face row straight from the exchange buffer (gf = 0.5 own
+        + 0.5 nbr); refinement sides run the compact contribution
+        pipeline.  Same values as ``_gamma_faces_local``."""
+        D, n, m = self.D, self.n, self.m
+        Pl = u_loc.shape[0]
+        S2 = 2 * D
+        faces = extract_faces(u_loc, D, n, self.face_depth)
+        buf = self.exchange.run(faces.reshape(-1, m), me)
+        own = faces.reshape(Pl, S2, self.face_depth, m)[:, :, 0]
+        if self.NRg:
+            g = buf[self._csrc_ref[me]]
+            lvl = self.base
+            parts = []
+            for k, a, b in self._segs_ref:
+                rows = jax.lax.slice_in_dim(g, a, b, axis=0)
+                w = lvl._case_scalar[k]
+                if w is not None:
+                    parts.append(rows * jnp.asarray(w, dtype=u_loc.dtype))
+                else:
+                    parts.append(
+                        jnp.matmul(rows, lvl._case_T[k].T.astype(u_loc.dtype),
+                                   precision=jax.lax.Precision.HIGHEST)
+                    )
+            vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            vp = jnp.concatenate(
+                [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
+            )
+            gref = jnp.sum(vp[self._gath_ref[me]], axis=1)  # [NRg, m]
+            combined = jnp.concatenate([buf, gref], axis=0)
+        else:
+            combined = buf
+        mix = combined[self._gfsrc[me].reshape(-1)].reshape(Pl, S2, m)
+        return (
+            self._gfw_own[me].astype(u_loc.dtype) * own
+            + self._gfw_mix[me].astype(u_loc.dtype) * mix
+        )
 
     def _gf_from_gamma_local(self, g_loc, me):
         """gf [Pl, 2D, m] from this shard's owned-gamma block (exchanging
@@ -517,7 +674,7 @@ class ShardedLevel:
         """Composite operator with explicit cut-face exchange."""
         def f(u_loc, h2inv, coef):
             me = jax.lax.axis_index("p")
-            gf = self._gamma_faces_local(u_loc, me)
+            gf = self._gf_direct_local(u_loc, me)
             return self._stencil_local(u_loc, gf, h2inv, coef)
 
         return self._smap("apply", f, 3)(
@@ -529,7 +686,7 @@ class ShardedLevel:
         if self._single_group:
             def g(f_loc, u_loc, h2inv, denom):
                 me = jax.lax.axis_index("p")
-                gf = self._gamma_faces_local(u_loc, me)
+                gf = self._gf_direct_local(u_loc, me)
                 fc = self._fold_local(f_loc, gf, h2inv)
                 return self._solve_local(fc, denom)
 
@@ -539,7 +696,7 @@ class ShardedLevel:
 
         def g(f_loc, u_loc, h2inv, denom, tidx, pinmask):
             me = jax.lax.axis_index("p")
-            gf = self._gamma_faces_local(u_loc, me)
+            gf = self._gf_direct_local(u_loc, me)
             fc = self._fold_local(f_loc, gf, h2inv)
             return self._solve_local(fc, denom, tidx, pinmask)
 
