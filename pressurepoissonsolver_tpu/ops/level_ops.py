@@ -455,8 +455,6 @@ class Level:
         self.face_depth = getattr(t, "face_depth", 1)
 
         f = lambda x: jnp.asarray(x)
-        self.iface_idx = f(t.iface_side_idx)
-        self.iface_mask = f(t.iface_side_mask)
 
         # gather-form of the interface reduction: per interface, the (padded)
         # list of contribution rows that accumulate into it — turns the
@@ -702,10 +700,6 @@ class Level:
             [gamma, jnp.zeros((1, self.m), dtype=gamma.dtype)], axis=0
         )
         return gp[self._iface_flat].reshape(self.P, 2 * self.D, self.m)
-
-    def _face_shaped(self, flat: jnp.ndarray) -> jnp.ndarray:
-        """[P, m] face vector -> [P, *face_dims] matching an axis slice."""
-        return flat.reshape((self.P,) + (self.n,) * (self.D - 1))
 
     def apply_with_interface(self, u: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
         """Stencil apply with explicit interface values
