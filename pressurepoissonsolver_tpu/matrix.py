@@ -234,6 +234,10 @@ def assemble_schur(level) -> sp.csr_matrix:
     lvl_u = Level(rep_pl, dtype=level.dtype)
 
     # -- all 2D·m probes in one jitted sequential map ----------------------
+    # responses are extracted to the tables' face depth (the quadratic
+    # closures source the first-interior face too, and their contribution
+    # codes are ``side*depth + d`` — iface.py:371-374)
+    fd = level.face_depth
     B = S2 * m
     gf_all = np.zeros((B, U, S2, m))
     for s in range(S2):
@@ -245,12 +249,13 @@ def assemble_schur(level) -> sp.csr_matrix:
     def probe_all(gf_b):
         def one(gf):
             u = lvl_u.patch_solve_faces(zeros_u, gf)
-            return extract_faces(u, D, n)
+            return extract_faces(u, D, n, fd)
 
         return jax.lax.map(one, gf_b)
 
     R = np.asarray(probe_all(jnp.asarray(gf_all, dtype=level.dtype)))
-    R = R.reshape(S2, m, U, S2, m)  # [src side, probe j, class, out side, m]
+    # [src side, probe j, class, out face code (side*depth + d), m]
+    R = R.reshape(S2, m, U, S2 * fd, m)
 
     # -- host placement under the case templates ---------------------------
     T = _dense_case_templates(t)  # [ncase, m, m]
