@@ -29,7 +29,11 @@ def build_parser(D: int) -> argparse.ArgumentParser:
                    help="use a uniform tree with L levels instead of a mesh file")
     p.add_argument("-n", type=int, default=16, help="cells per patch side")
     p.add_argument("--divide", type=int, default=0, help="extra uniform refinements")
-    p.add_argument("--neumann", action="store_true", help="Neumann BCs")
+    p.add_argument("--neumann", action="store_true", help="Neumann BCs on all walls")
+    p.add_argument("--neumann-sides", type=str, default=None, metavar="SIDES",
+                   help="comma-separated walls with Neumann BCs, e.g. "
+                   "'x_lo,y_hi' — the rest stay Dirichlet (per-side "
+                   "IsNeumannFunc parity, PatchInfo.h:684-697)")
     p.add_argument("--schur", action="store_true",
                    help="solve the Schur-complement interface system")
     p.add_argument("--problem", type=str, default="trig",
@@ -43,7 +47,10 @@ def build_parser(D: int) -> argparse.ArgumentParser:
                    help="inner Krylov method of the ir solver")
     p.add_argument("--prec", type=str, default="GMG",
                    choices=["GMG", "Schwarz", "cheb", "BlockJacobi", "none"],
-                   help="preconditioner (cheb/BlockJacobi apply to --schur)")
+                   help="preconditioner (cheb/BlockJacobi apply to --schur; "
+                   "GMG preconditions the composite solve, or with --schur "
+                   "the interface system via the Woodbury identity "
+                   "(I-S)^-1 = I - trace(GMG(inject(.))))")
     p.add_argument("--patch_solver", type=str, default="dft",
                    choices=["dft", "fftw", "bcgs"],
                    help="per-patch solver (fftw is an alias of the spectral dft)")
@@ -58,8 +65,11 @@ def build_parser(D: int) -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=0,
                    help="shard the solve over this many devices "
                    "(0 = single device)")
-    p.add_argument("--comm", type=str, default="pjit", choices=["pjit", "halo"],
-                   help="multi-chip communication schedule (with --shards)")
+    p.add_argument("--comm", type=str, default="auto",
+                   choices=["auto", "pjit", "halo"],
+                   help="multi-chip communication schedule (with --shards); "
+                   "auto = the cut-face halo engine (pjit is ~3x slower at "
+                   "8 devices, docs/DISTRIBUTED.md)")
     p.add_argument("-t", "--tolerance", type=float, default=1e-12)
     p.add_argument("--max_iterations", type=int, default=1000)
     p.add_argument("--dtype", type=str, default="float64",
@@ -101,12 +111,17 @@ def build_parser(D: int) -> argparse.ArgumentParser:
     p.add_argument("--out-rhs", type=str, default=None,
                    help="write the RHS vector (.npy)")
     p.add_argument("--out-gamma", type=str, default=None,
-                   help="write the converged interface (gamma) vector "
-                   "(.npy; --schur only — apps/3d/steady.cpp:570-574)")
+                   help="write the interface (gamma) vector (.npy): the "
+                   "converged gamma with --schur, else the interpolated "
+                   "traces of the solution (apps/3d/steady.cpp:570-574)")
     p.add_argument("--config", type=str, default=None, help="read options from ini file")
     p.add_argument("--output-config", type=str, default=None,
                    help="write the effective options to an ini file")
     p.add_argument("--loop", type=int, default=1, help="repeat the solve N times")
+    p.add_argument("--monitor", action="store_true",
+                   help="print the per-iteration relative residual norms "
+                   "(BiCGStab solves only; runs the fixed-trip monitored "
+                   "loop, so expect max_iterations iterations of work)")
     return p
 
 
@@ -171,6 +186,12 @@ def _solve_crs(solver, f, A_mv, args):
     return jax.jit(run)(f)
 
 
+def _print_monitor(hist) -> None:
+    """Per-iteration relative residual norms (the --monitor output)."""
+    for k, r in enumerate(hist):
+        print(f"  iter {k:4d}  rel residual {float(r):.6e}")
+
+
 def _solve_schur_crs(solver, f, S_mv, args, schur_prec):
     """Schur interface solve through the assembled (probed) Schur matrix
     (reference ``SchurMatrixHelper``, ``apps/3d/steady.cpp:364-367``)."""
@@ -189,6 +210,8 @@ def _solve_schur_crs(solver, f, S_mv, args, schur_prec):
         from .matrix import schur_block_jacobi
 
         M = schur_block_jacobi(lvl)
+    elif schur_prec == "gmg":
+        M = solver.schur_gmg_preconditioner()
     method = gmres if args.solver == "gmres" else bicgstab
 
     @jax.jit
@@ -225,6 +248,10 @@ def main(D: int, argv=None) -> int:
         parser.error("--solver ir applies to the composite solve, not --schur")
     if args.prec == "Schwarz" and args.schur:
         parser.error("--prec Schwarz applies to the composite solve, not --schur")
+    if args.monitor and args.solver != "bicgstab":
+        parser.error("--monitor is implemented for --solver bicgstab")
+    if args.monitor and args.matrix_type == "crs":
+        parser.error("--monitor applies to the matrix-free paths")
 
     import jax.numpy as jnp
 
@@ -257,8 +284,13 @@ def main(D: int, argv=None) -> int:
         tree = uniform_tree(D, args.uniform or 3)
     for _ in range(args.divide):
         tree.refine_leaves()
+    neumann_spec = args.neumann
+    if args.neumann_sides:
+        if args.neumann:
+            parser.error("--neumann and --neumann-sides are exclusive")
+        neumann_spec = [t.strip() for t in args.neumann_sides.split(",") if t.strip()]
     hierarchy = DomainHierarchy(
-        tree, n=args.n, neumann=args.neumann, num_shards=args.shards or 1
+        tree, n=args.n, neumann=neumann_spec, num_shards=args.shards or 1
     )
 
     gmg_opts = CycleOpts(
@@ -303,7 +335,8 @@ def main(D: int, argv=None) -> int:
 
     timer.start("Linear System Setup")
     prob = get_problem(args.problem, D)
-    f_np, exact_np = init_problem(hierarchy.finest, prob, neumann=args.neumann)
+    # BC folding is derived per patch side from the level's Neumann table
+    f_np, exact_np = init_problem(hierarchy.finest, prob)
     f = jnp.asarray(f_np, dtype=dtype)
     exact = jnp.asarray(exact_np, dtype=dtype)
 
@@ -335,9 +368,16 @@ def main(D: int, argv=None) -> int:
     for _loop in range(args.loop):
         timer.start("Linear Solve")
         if args.schur:
-            schur_prec = {"cheb": "cheb", "BlockJacobi": "blockjacobi"}.get(args.prec)
+            schur_prec = {"cheb": "cheb", "BlockJacobi": "blockjacobi",
+                          "GMG": "gmg"}.get(args.prec)
             if crs_S is not None:
                 u, res = _solve_schur_crs(solver, f, crs_S, args, schur_prec)
+            elif args.monitor:
+                u, res, hist = solver.solve_monitored(
+                    f, max_iter=args.max_iterations, schur=True,
+                    schur_preconditioner=schur_prec,
+                )
+                _print_monitor(hist)
             else:
                 u, res = solver.solve_schur(f, preconditioner=schur_prec)
             timer.stop("Linear Solve")
@@ -361,6 +401,11 @@ def main(D: int, argv=None) -> int:
         elif crs_A is not None:
             res = _solve_crs(solver, f, crs_A, args)
             u = res.x
+            timer.stop("Linear Solve")
+            iter_line = f"Iterations: {int(res.iterations)}"
+        elif args.monitor:
+            u, res, hist = solver.solve_monitored(f, max_iter=args.max_iterations)
+            _print_monitor(hist)
             timer.stop("Linear Solve")
             iter_line = f"Iterations: {int(res.iterations)}"
         else:

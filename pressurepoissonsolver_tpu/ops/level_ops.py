@@ -722,6 +722,11 @@ class Level:
         (``StarPatchOp::addInterfaceToRHS``, ``StarPatchOp.h:185-203``)."""
         return self._fold_faces_into_rhs(fc, self.gamma_faces(gamma))
 
+    def fold_gamma(self, fc: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+        """Public ghost injection ``f - G gamma`` (see the sharded
+        counterpart ``ShardedLevel.fold_gamma``)."""
+        return self._fold_gamma_into_rhs(fc, gamma)
+
     def _fold_faces_into_rhs(self, fc: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
         return _fold_faces_flat(fc, gf, self.h2inv, self.D, self.n)
 

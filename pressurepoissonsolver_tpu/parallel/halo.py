@@ -777,6 +777,19 @@ class ShardedLevel:
             self._denom.astype(f.dtype), self._tidx, self._pinmask,
         )
 
+    def fold_gamma(self, f: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+        """``f - 2 h^-2 gamma`` spread onto every neighbored face row
+        (``StarPatchOp::addInterfaceToRHS`` without the solve) — the ghost
+        injection ``f - G gamma`` used by the Schur-GMG preconditioner."""
+        def g(f_loc, g_loc, h2inv):
+            me = jax.lax.axis_index("p")
+            gf = self._gf_from_gamma_local(g_loc, me)
+            return self._fold_local(f_loc, gf, h2inv)
+
+        return self._smap("foldg", g, 3)(
+            f, gamma.astype(f.dtype), self.base.h2inv.astype(f.dtype)
+        )
+
     def schur_S(self, gamma: jnp.ndarray) -> jnp.ndarray:
         """``S gamma = interp(patch_solve(0, gamma))`` in one shard_map
         (one gamma exchange + one cut-face exchange per application) —
@@ -848,7 +861,11 @@ class ShardedActiveSmoother:
             np.where(active[r * Pl:(r + 1) * Pl])[0] for r in range(ndev)
         ]
         self.Amax = Amax = max(max((len(a) for a in act_by), default=0), 1)
-        act = np.full((ndev, Amax), Pl, dtype=np.int32)  # pad -> zero row
+        # pad slots index row 0 (a valid in-range row: _rows gathers from
+        # the Pl-row local array with NO appended pad row, so an index of
+        # Pl would rely on JAX's out-of-bounds clamp); their solves are
+        # masked out by _scatter
+        act = np.zeros((ndev, Amax), dtype=np.int32)
         inv = np.full((ndev, Pl), Amax, dtype=np.int32)  # pad -> zero row
         mask = np.zeros((ndev, Pl), dtype=bool)
         ns = pl.ns_shape

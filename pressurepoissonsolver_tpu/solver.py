@@ -55,9 +55,12 @@ class SolveOptions:
     preconditioner: str = "gmg"  # "gmg" | "schwarz" | "none"
     patch_solver: str = "dft"  # "dft" (spectral) | "bcgs" (iterative)
     # multi-chip communication schedule (only with a mesh):
-    # "pjit" — XLA partitions the global gathers; "halo" — explicit
-    # cut-face ppermute exchange (parallel/halo.ShardedLevel)
-    comm: str = "pjit"
+    # "halo" — explicit cut-face ppermute exchange
+    # (parallel/halo.ShardedLevel); "pjit" — XLA partitions the global
+    # gathers (measured 3x slower than halo at 8 devices, SCALING_r3 —
+    # kept for comparison/debugging); "auto" — halo whenever a mesh is
+    # present
+    comm: str = "auto"
     # interface interpolation at refinement boundaries: "bilinear"
     # (reference BilinearInterpolator/TriLinInterp) or "quadratic"
     # (2D only; the reference's higher-order StencilHelper2d closures)
@@ -84,6 +87,8 @@ class PoissonSolver:
         self.hierarchy = hierarchy
         self.opts = options or SolveOptions()
         self.mesh = mesh
+        if self.opts.comm == "auto":
+            self.opts.comm = "halo"
         if self.opts.iface_scheme != "bilinear":
             # the higher-order closures are not self-adjoint in the volume
             # inner product — fall back to BiCGStab
@@ -124,20 +129,7 @@ class PoissonSolver:
 
             self._op = ShardedLevel(self.fine_level, mesh)
             if self.gmg is not None:
-                wrapped = [
-                    self._op
-                    if l is self.fine_level
-                    else ShardedLevel(l, mesh)
-                    for l in self.gmg.levels
-                ]
-                self.gmg.transfers = [
-                    ShardedTransfer(tr, wrapped[k], wrapped[k + 1])
-                    for k, tr in enumerate(self.gmg.transfers)
-                ]
-                self.gmg.levels = wrapped
-                # FAC active-set smoothing: per-shard subset compute
-                # instead of the masked-full-sweep fallback
-                self.gmg.attach_sharded_active()
+                self._wrap_halo(self.gmg)
         self._solve_jit = None
         self._apply_jit = None
         self._fine_low = None
@@ -145,6 +137,24 @@ class PoissonSolver:
         self._inner_jit_key = None
         self._schur_jit = None
         self._schur_jit_key = None
+
+    def _wrap_halo(self, gmg) -> None:
+        """Wrap a GMG cycle's levels/transfers in the cut-face halo engine
+        (``self._op`` must already be the wrapped finest level)."""
+        from .parallel.halo import ShardedLevel, ShardedTransfer
+
+        wrapped = [
+            self._op if l is self.fine_level else ShardedLevel(l, self.mesh)
+            for l in gmg.levels
+        ]
+        gmg.transfers = [
+            ShardedTransfer(tr, wrapped[k], wrapped[k + 1])
+            for k, tr in enumerate(gmg.transfers)
+        ]
+        gmg.levels = wrapped
+        # FAC active-set smoothing: per-shard subset compute
+        # instead of the masked-full-sweep fallback
+        gmg.attach_sharded_active()
 
     def _device_put(self, f: jnp.ndarray) -> jnp.ndarray:
         """Place a patch array according to the solver's mesh (no-op when
@@ -221,6 +231,68 @@ class PoissonSolver:
         return self._solve_jit(
             self._device_put(jnp.asarray(f, dtype=self.opts.dtype)), tol, max_iter
         )
+
+    def solve_monitored(
+        self,
+        f: jnp.ndarray,
+        tol: Optional[float] = None,
+        max_iter: int = 200,
+        schur: bool = False,
+        schur_preconditioner: Optional[str] = None,
+    ):
+        """Solve with a per-iteration residual-norm history (the
+        observability hook behind the CLI ``--monitor`` flag; the reference
+        BiCGStab reports only the final count, ``BiCGStab.h:70-105``).
+
+        Returns ``(u, KrylovResult, history)`` where ``history[k]`` is the
+        *relative* residual norm after iteration ``k`` (entries past
+        convergence repeat the final value).  Only run when asked: the
+        fixed-trip monitored loop always executes ``max_iter`` iterations.
+        """
+        from .krylov import residual_history
+
+        tol = self.opts.tol if tol is None else tol
+        lvl = self._op
+        M = self._preconditioner() if not schur else None
+        if schur:
+            if schur_preconditioner == "cheb":
+                from .precond import poly_cheb
+
+                M = poly_cheb(lvl)
+            elif schur_preconditioner == "blockjacobi":
+                from .matrix import schur_block_jacobi
+
+                M = schur_block_jacobi(self.fine_level, engine=lvl)
+            elif schur_preconditioner == "gmg":
+                M = self.schur_gmg_preconditioner()
+
+            @jax.jit
+            def run(b):
+                def A_schur(g):
+                    return g - lvl.schur_S(g)
+
+                gamma0 = lvl.gamma_zeros(b.dtype)
+                rhs = lvl.interpolate(lvl.patch_solve(b, gamma0))
+                res, hist = residual_history(
+                    A_schur, rhs, M=M, tol=tol, max_iter=max_iter
+                )
+                u = lvl.patch_solve(b, res.x)
+                return u, res, hist
+
+        else:
+
+            @jax.jit
+            def run(b):
+                res, hist = residual_history(
+                    lvl.apply, b, M=M, tol=tol, max_iter=max_iter
+                )
+                return res.x, res, hist
+
+        f = self._device_put(jnp.asarray(f, dtype=self.opts.dtype))
+        u, res, hist = run(f)
+        r0 = np.asarray(res.r0_norm)
+        rel = np.asarray(hist) / (r0 if r0 > 0 else 1.0)
+        return u, res, rel[: int(res.iterations) + 1]
 
     def solve_refined(
         self,
@@ -359,12 +431,52 @@ class PoissonSolver:
         }
         return u, info
 
+    def schur_gmg_preconditioner(self) -> Callable:
+        """AMG-strength interface preconditioner from the composite GMG.
+
+        Woodbury: with ``A = K + G Γ`` (composite operator = block patch
+        stencil ``K`` plus ghost injection ``G`` of the interpolated traces
+        ``Γ``) the interface system matrix factors *exactly* as
+
+            ``(I - S)⁻¹ = (I + Γ K⁻¹ G)⁻¹ = I - Γ A⁻¹ G``.
+
+        Replacing ``A⁻¹`` by one GMG V-cycle ``M_A`` gives the
+        preconditioned operator ``I + Γ (I - M_A A) K⁻¹ G``, whose
+        deviation from the identity is bounded by the (mesh-independent)
+        V-cycle contraction — so Schur iterations become mesh-independent,
+        the quality the reference buys with hypre/BoomerAMG on the
+        assembled interface matrix (BASELINE.md: 15-19 iterations from
+        2.1M to 136M DOF; the dead in-tree sketch of a GMG interface
+        preconditioner is ``GMG/Helper2dSchur.cpp:36-155``).
+
+        One application costs one ghost injection (pad-spread fold), one
+        V-cycle, and one trace interpolation.
+        """
+        if self.gmg is None:
+            self.gmg = build_gmg(
+                self.hierarchy, self.opts.gmg, dtype=self.opts.precond_dtype,
+                mesh=self.mesh,
+            )
+            if self.mesh is not None and self.opts.comm == "halo":
+                self._wrap_halo(self.gmg)
+        lvl = self._op
+        gmg = self.gmg
+        pdtype = self.opts.precond_dtype
+
+        def M(rho):
+            zf = lvl.zeros().astype(rho.dtype)
+            g = lvl.fold_gamma(zf, rho)  # = -G rho
+            e = gmg.apply(g.astype(pdtype)).astype(rho.dtype)
+            return rho + lvl.interpolate(e)  # = rho - Γ M_A G rho
+
+        return M
+
     def solve_schur(
         self,
         f: jnp.ndarray,
         tol: Optional[float] = None,
         max_iter: Optional[int] = None,
-        preconditioner: Optional[str] = None,  # None | "cheb" | "blockjacobi"
+        preconditioner: Optional[str] = None,  # None|"cheb"|"blockjacobi"|"gmg"
     ):
         """Schur-complement path (reference ``--schur``).
 
@@ -399,6 +511,8 @@ class PoissonSolver:
                 from .matrix import schur_block_jacobi
 
                 M = schur_block_jacobi(self.fine_level, engine=lvl)
+            elif preconditioner == "gmg":
+                M = self.schur_gmg_preconditioner()
 
             from .krylov import gmres
 
