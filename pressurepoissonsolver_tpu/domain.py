@@ -120,7 +120,52 @@ class PatchLevel:
         )
 
 
-def extract_level(tree: Tree, tree_level: int, n: int, neumann: bool = False) -> PatchLevel:
+def normalize_neumann(neumann, D: int):
+    """Normalize a Neumann BC spec (reference ``IsNeumannFunc``,
+    ``PatchInfo.h:684-697``):
+
+    * ``bool`` — all physical boundaries Dirichlet/Neumann;
+    * an iterable of side names (``"x_lo", "x_hi", "y_lo", "y_hi", "z_lo",
+      "z_hi"``) or side indices — those walls Neumann, the rest Dirichlet;
+    * a callable ``fn(side, starts, lengths) -> bool`` evaluated per patch
+      on its physical boundary (full ``IsNeumannFunc`` parity: the
+      reference passes the side and the patch's physical bounds).
+
+    Returns ``bool`` | ``np.ndarray[2D] of bool`` | the callable.
+    """
+    if callable(neumann):
+        return neumann
+    if isinstance(neumann, (bool, np.bool_)):
+        return bool(neumann)
+    if isinstance(neumann, np.ndarray) and neumann.dtype == bool:
+        return neumann  # already normalized (idempotent)
+    names = {
+        f"{'xyz'[a]}_{tag}": 2 * a + i
+        for a in range(D)
+        for i, tag in enumerate(("lo", "hi"))
+    }
+    side_mask = np.zeros(2 * D, dtype=bool)
+    for tok in neumann:
+        if isinstance(tok, str):
+            if tok not in names:
+                raise ValueError(
+                    f"unknown side {tok!r}; valid: {sorted(names)}"
+                )
+            side_mask[names[tok]] = True
+        else:
+            side_mask[int(tok)] = True
+    return side_mask
+
+
+def _eval_neumann(nm, s: int, node) -> bool:
+    if callable(nm):
+        return bool(nm(s, node.starts, node.lengths))
+    if isinstance(nm, np.ndarray):
+        return bool(nm[s])
+    return bool(nm)
+
+
+def extract_level(tree: Tree, tree_level: int, n: int, neumann=False) -> PatchLevel:
     """Build the patch tables for one level of the hierarchy.
 
     Follows the reference's BFS over the neighbor graph starting from the
@@ -131,6 +176,7 @@ def extract_level(tree: Tree, tree_level: int, n: int, neumann: bool = False) ->
     D = tree.D
     S = 2 * D
     half = 1 << (D - 1)
+    nm = normalize_neumann(neumann, D)
 
     members: List[int] = []
     for nid, node in tree.nodes.items():
@@ -192,8 +238,8 @@ def extract_level(tree: Tree, tree_level: int, n: int, neumann: bool = False) ->
                 nbr_type[i, s] = NBR_NORMAL
                 nbr_slot[i, s] = slot_of[int(node.nbr_id[s])]
             else:
-                # physical boundary
-                neumann_arr[i, s] = neumann
+                # physical boundary: evaluate the BC spec per patch side
+                neumann_arr[i, s] = _eval_neumann(nm, s, node)
 
     return PatchLevel(
         D=D,
@@ -221,7 +267,7 @@ class DomainHierarchy:
         self,
         tree: Tree,
         n: int,
-        neumann: bool = False,
+        neumann=False,
         use_native: bool = True,
         num_shards: int = 1,
         partition: str = "morton",
@@ -247,11 +293,17 @@ class DomainHierarchy:
 
             if native_mod.available():
                 native = native_mod
+        nm = normalize_neumann(neumann, tree.D)
         for lvl in range(tree.num_levels - 1, -1, -1):
-            if native is not None:
-                pl, tables = native.build_level_native(tree, lvl, n, neumann)
+            if native is not None and isinstance(nm, bool):
+                pl, tables = native.build_level_native(tree, lvl, n, nm)
+            elif native is not None and isinstance(nm, np.ndarray):
+                # per-side spec: the native builder only takes a bool, and
+                # the iface tables are BC-independent — post-fix the flags
+                pl, tables = native.build_level_native(tree, lvl, n, False)
+                pl.neumann = (pl.nbr_type == NBR_NONE) & nm[None, :]
             else:
-                pl, tables = extract_level(tree, lvl, n, neumann), None
+                pl, tables = extract_level(tree, lvl, n, nm), None
             if num_shards > 1:
                 from . import iface as iface_mod
                 from .parallel.partition import morton_order, reorder_level

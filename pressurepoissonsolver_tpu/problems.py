@@ -160,10 +160,16 @@ def _wall_coords(level: PatchLevel, s: int) -> Tuple[np.ndarray, ...]:
 
 
 def init_problem(
-    level: PatchLevel, problem: Problem, neumann: bool = False
+    level: PatchLevel, problem: Problem, neumann: Optional[bool] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Build (f, exact) patch arrays with BCs folded into f
-    (``Init.cpp:57-361``)."""
+    (``Init.cpp:57-361``).
+
+    The BC kind of each wall is read from ``level.neumann`` (per patch
+    side — mixed Dirichlet/Neumann walls fold correctly, the reference
+    ``IsNeumannFunc`` semantics).  ``neumann`` is kept for API
+    compatibility as an all-walls override: ``True``/``False`` force every
+    physical side; ``None`` (default) derives from the level."""
     D, n = level.D, level.n
     centers = level.cell_centers()
     args = tuple(centers[..., d] for d in range(D))
@@ -185,14 +191,20 @@ def init_problem(
         sl[ax] = 0 if s % 2 == 0 else n - 1
         sl = tuple(sl)
         h = level.spacings[:, a].reshape((level.num_patches,) + (1,) * (D - 1))
-        mask = phys.reshape((level.num_patches,) + (1,) * (D - 1))
-        if neumann:
+        if neumann is None:
+            is_neu = phys & level.neumann[:, s]
+        else:
+            is_neu = phys & neumann
+        shape = (level.num_patches,) + (1,) * (D - 1)
+        mask_neu = is_neu.reshape(shape)
+        mask_dir = (phys & ~is_neu).reshape(shape)
+        if mask_neu.any():
             gn = np.asarray(problem.dfuns[a](*wall), dtype=np.float64)
             sign = 1.0 if s % 2 == 0 else -1.0
-            f[sl] += np.where(mask, sign * gn / h, 0.0)
-        else:
+            f[sl] += np.where(mask_neu, sign * gn / h, 0.0)
+        if mask_dir.any():
             g = np.asarray(problem.gfun(*wall), dtype=np.float64)
-            f[sl] -= np.where(mask, 2.0 * g / (h * h), 0.0)
+            f[sl] -= np.where(mask_dir, 2.0 * g / (h * h), 0.0)
     if level.num_real is not None:
         # padded dummy patches (sharded levels) carry zero data
         f[level.num_real:] = 0.0

@@ -43,6 +43,61 @@ def test_2d_dirichlet_second_order():
     assert 3.0 < ratio < 5.0, ratio
 
 
+def _solve_mixed(D, levels, n, sides, adaptive=False):
+    """Mixed Dirichlet/Neumann walls (per-side IsNeumannFunc parity,
+    ``PatchInfo.h:684-697``): the named walls are Neumann, the rest
+    Dirichlet; BC folding derives per patch side from the level tables."""
+    t = refined_tree(D, levels, 1) if adaptive else uniform_tree(D, levels)
+    h = DomainHierarchy(t, n=n, neumann=sides)
+    s = PoissonSolver(h, SolveOptions(tol=1e-11))
+    f, exact = init_problem(h.finest, get_problem("trig", D))
+    f = jnp.asarray(f)
+    res = s.solve(f)
+    rep = s.report(res.x, f, jnp.asarray(exact))
+    return res, rep
+
+
+def test_mixed_bc_2d_second_order():
+    _, rep1 = _solve_mixed(2, 3, 8, ["x_lo", "y_hi"])
+    _, rep2 = _solve_mixed(2, 4, 8, ["x_lo", "y_hi"])
+    assert rep1["residual"] < 1e-10
+    assert rep2["residual"] < 1e-10
+    ratio = rep1["error"] / rep2["error"]
+    assert 3.0 < ratio < 5.0, ratio
+
+
+def test_mixed_bc_2d_adaptive():
+    _, rep = _solve_mixed(2, 3, 8, ["y_lo"], adaptive=True)
+    assert rep["residual"] < 1e-10
+    assert rep["error"] < 3e-2
+
+
+def test_mixed_bc_3d_second_order():
+    _, rep1 = _solve_mixed(3, 2, 8, ["z_lo", "x_hi"])
+    _, rep2 = _solve_mixed(3, 3, 8, ["z_lo", "x_hi"])
+    assert rep1["residual"] < 1e-10
+    ratio = rep1["error"] / rep2["error"]
+    assert 3.0 < ratio < 5.0, ratio
+
+
+def test_mixed_bc_callable_matches_sides():
+    """The IsNeumannFunc-style callable spec and the side-name spec build
+    identical levels (and the python builder agrees with the native
+    post-fix path)."""
+    t = refined_tree(2, 3, 1)
+    h_names = DomainHierarchy(t, n=4, neumann=["x_lo", "y_hi"])
+    h_call = DomainHierarchy(
+        t, n=4, neumann=lambda s, starts, lengths: s in (0, 3),
+        use_native=False,
+    )
+    h_py = DomainHierarchy(t, n=4, neumann=["x_lo", "y_hi"], use_native=False)
+    for a, b in ((h_names, h_call), (h_names, h_py)):
+        for la, lb in zip(a.levels, b.levels):
+            np.testing.assert_array_equal(la.neumann, lb.neumann)
+    assert h_names.finest.neumann.any()
+    assert not h_names.finest.neumann.all()
+
+
 def test_2d_neumann_solve():
     res, rep = _solve(2, levels=3, n=8, neumann=True)
     assert rep["residual"] < 1e-9
