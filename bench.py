@@ -116,18 +116,34 @@ def main():
     rep = solver.report(u, f, jnp.asarray(exact))
     res_x = u
 
-    # stencil throughput: composite operator applications (nnz/s, 5-pt 2D),
-    # calibrated in-graph timing (per-dispatch wall through the tunneled
-    # backend costs ~20-25 ms and would swamp the op)
-    from pressurepoissonsolver_tpu.utils.profiling import time_op
+    # composite-operator throughput (the BASELINE "stencil applications
+    # nnz/s per chip" metric), measured with the SAME calibrated in-graph
+    # methodology as OP_REPORT (utils.profiling.time_op: dynamic-trip
+    # fori_loop, zero-trip launch-cost calibration — per-dispatch wall
+    # through the tunneled backend costs ~20-25 ms and would swamp the op).
+    # Steady-state in-graph numbers are VMEM-optimistic for loop-resident
+    # operands; the timing mode is recorded alongside the numbers.
+    from pressurepoissonsolver_tpu.utils.profiling import _device_bw, time_op
 
-    apply_s = time_op(solver.fine_level.apply, res_x, reps=200, in_graph=True)
-    nnz_per_s = 5 * dof / apply_s
-    # achieved fraction of HBM speed-of-light for the op's algorithmic
-    # traffic (read u + write Au, f64)
-    from pressurepoissonsolver_tpu.utils.profiling import _device_bw
-
-    roofline_pct = 100 * (2 * dof * 8) / _device_bw() / apply_s
+    bw = _device_bw()
+    extras = {"apply_timing": "in_graph_steady_state"}
+    # f64 composite apply (the IR outer-residual operator)
+    apply64_s = time_op(solver.fine_level.apply, res_x, reps=200, in_graph=True)
+    extras["apply_f64_ms"] = round(apply64_s * 1e3, 4)
+    extras["apply_f64_roofline_pct"] = round(100 * (2 * dof * 8) / bw / apply64_s, 2)
+    # f32 composite apply (the inner-Krylov operator, where the solve
+    # time actually goes) — the headline nnz/s kernel number
+    low = solver._fine_low
+    if low is not None:
+        res32 = res_x.astype(jnp.float32)
+        apply32_s = time_op(low.apply, res32, reps=200, in_graph=True)
+        extras["apply_f32_ms"] = round(apply32_s * 1e3, 4)
+        extras["apply_f32_roofline_pct"] = round(
+            100 * (2 * dof * 4) / bw / apply32_s, 2
+        )
+        nnz_per_s = 5 * dof / apply32_s
+    else:
+        nnz_per_s = 5 * dof / apply64_s
 
     dof_per_s = dof / solve_s
     baseline_dof_per_s = 3.34e5  # reference 1-core Schur+hypre complete solve
@@ -143,7 +159,7 @@ def main():
         "residual": rep["residual"],
         "error": rep["error"],
         "stencil_nnz_per_s": round(nnz_per_s, 1),
-        "stencil_roofline_pct": round(roofline_pct, 2),
+        **extras,
         "compile_s": round(compile_and_first - solve_s, 2),
         "dtype": dtype_name,
         "device": str(jax.devices()[0]),

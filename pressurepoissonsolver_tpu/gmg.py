@@ -468,24 +468,70 @@ class GMGCycle:
                 u = jnp.where(mask, u, jnp.zeros((), dtype=u.dtype))
             for _ in range(opts.pre_sweeps - 1):
                 u = self._smooth(k, f, u)
-        n_recurse = 2 if opts.cycle_type == "W" else 1
-        for it in range(n_recurse):
-            # only on the first pass is u zero off the active set; after a
-            # coarse correction has been prolonged in, it is global
-            if it == 0 and (isinstance(mask, str) or opts.pre_sweeps <= 0):
-                r = f  # u = 0: nothing was relaxed on this level yet
-            elif it == 0 and self._aapply[k] is not None:
-                r = f - self._aapply[k].apply_scattered(u)
-            else:
-                r = f - lvl.apply(u)
-            fc = self.transfers[k].restrict(r)
-            uc = self._visit(k + 1, fc)
-            u = self.transfers[k].prolong_add(uc, u)
-            if it + 1 < n_recurse:
-                for _ in range(opts.mid_sweeps):
-                    u = self._smooth(k, f, u)
+        if opts.cycle_type == "W":
+            u = self._w_recurse(k, f, u)
+        else:
+            u = self._correct(k, f, u, first=True)
         for _ in range(opts.post_sweeps):
             u = self._smooth(k, f, u)
+        return u
+
+    def _residual(self, k: int, f, u, first: bool):
+        """``f - A u`` on level ``k``; on the first pass of a level visit
+        ``u`` is zero off the active set, so the residual apply runs on
+        nbr(active) only (or is ``f`` exactly when nothing was relaxed)."""
+        lvl = self.levels[k]
+        mask = self._active[k]
+        if first and (isinstance(mask, str) or self.opts.pre_sweeps <= 0):
+            return f  # u = 0: nothing was relaxed on this level yet
+        if first and self._aapply[k] is not None:
+            return f - self._aapply[k].apply_scattered(u)
+        return f - lvl.apply(u)
+
+    def _correct(self, k: int, f, u, first: bool):
+        """One coarse-grid correction: restrict the residual, visit the
+        coarser level, prolong the correction back (``GMG/Cycle.h:56-80``)."""
+        r = self._residual(k, f, u, first)
+        fc = self.transfers[k].restrict(r)
+        uc = self._visit(k + 1, fc)
+        return self.transfers[k].prolong_add(uc, u)
+
+    def _w_recurse(self, k: int, f, u):
+        """The W-cycle's two coarse visits, rolled into a length-2
+        ``lax.scan`` so the coarser subtree is traced ONCE per level pair
+        (``GMG/WCycle.h:30-83`` visits level k 2^k times — unrolled, that
+        program grows exponentially with depth and blows the compile
+        budget at bench scale; scanned, program size stays linear, V ≈ W).
+
+        The first pass differs from the second (active-set residual
+        short-cuts valid only while u vanishes off the active set, and
+        mid-sweeps run only *between* the visits), so the scan body
+        branches on the iteration index with ``lax.cond`` — around the
+        residual and the mid-smooth only, so the coarse visit itself is
+        shared by both passes."""
+        opts = self.opts
+
+        def body(carry, it):
+            uu = carry
+            r = jax.lax.cond(
+                it == 0,
+                lambda v: self._residual(k, f, v, first=True),
+                lambda v: self._residual(k, f, v, first=False),
+                uu,
+            )
+            fc = self.transfers[k].restrict(r)
+            uc = self._visit(k + 1, fc)  # ONE trace of the coarser subtree
+            uu = self.transfers[k].prolong_add(uc, uu)
+
+            def with_mid(v):
+                for _ in range(opts.mid_sweeps):
+                    v = self._smooth(k, f, v)
+                return v
+
+            uu = jax.lax.cond(it == 0, with_mid, lambda v: v, uu)
+            return uu, None
+
+        u, _ = jax.lax.scan(body, u, jnp.arange(2))
         return u
 
     def _smooth(self, k: int, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:

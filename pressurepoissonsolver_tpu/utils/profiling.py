@@ -91,7 +91,12 @@ def time_op(fn: Callable, *args, reps: int = 200, in_graph: bool = False,
             best_full = min(best_full, time.time() - t0)
         # min each leg separately: min over per-trial deltas is biased by
         # launch-cost jitter (one slow base run makes the delta negative)
-        return max((best_full - best_base) / reps, 1e-9)
+        delta = best_full - best_base
+        if delta <= 0:
+            # noise-dominated: the op is cheaper than launch jitter —
+            # flag the measurement instead of reporting an absurd number
+            return float("nan")
+        return delta / reps
 
     jfn = jax.jit(fn)
     out = jfn(*args)

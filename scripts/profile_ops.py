@@ -105,6 +105,9 @@ def main():
         "n": n,
         "device": str(jax.devices()[0]),
         "hbm_bytes_per_s": profiling._device_bw(),
+        # methodology label (ADVICE r3): calibrated dynamic-trip fori_loop
+        # steady state — VMEM-optimistic for loop-resident operands
+        "timing": "in_graph_steady_state",
     }
     variants = [(jnp.float32, "f32"), (jnp.float64, "f64")]
     if os.environ.get("PPS_PROFILE_DTYPE") == "f32":

@@ -121,9 +121,13 @@ def test_profiling_op_report():
     from pressurepoissonsolver_tpu.ops.level_ops import Level
     from pressurepoissonsolver_tpu.utils import profiling
 
+    import math
+
     h = DomainHierarchy(uniform_tree(2, 2), n=4)
     rep = profiling.op_report(Level(h.finest), reps=2)
     assert set(rep) == {"interpolate", "apply", "patch_solve", "smooth"}
     for v in rep.values():
-        assert v["ms"] > 0 and v["roofline_pct"] > 0
+        # NaN = the designed "noise-dominated measurement" flag: at this
+        # toy size on CPU the op is cheaper than launch jitter
+        assert math.isnan(v["ms"]) or (v["ms"] > 0 and v["roofline_pct"] > 0)
     assert "gnnz_per_s" in rep["apply"]
