@@ -252,6 +252,14 @@ class PoissonSolver:
         from .krylov import residual_history
 
         tol = self.opts.tol if tol is None else tol
+        key = (tol, max_iter, schur, schur_preconditioner)
+        if getattr(self, "_monitor_jit_key", None) == key:
+            run = self._monitor_run
+            f = self._device_put(jnp.asarray(f, dtype=self.opts.dtype))
+            u, res, hist = run(f)
+            r0 = np.asarray(res.r0_norm)
+            rel = np.asarray(hist) / (r0 if r0 > 0 else 1.0)
+            return u, res, rel[: int(res.iterations) + 1]
         lvl = self._op
         M = self._preconditioner() if not schur else None
         if schur:
@@ -288,6 +296,8 @@ class PoissonSolver:
                 )
                 return res.x, res, hist
 
+        self._monitor_run = run
+        self._monitor_jit_key = key
         f = self._device_put(jnp.asarray(f, dtype=self.opts.dtype))
         u, res, hist = run(f)
         r0 = np.asarray(res.r0_norm)

@@ -159,6 +159,33 @@ def main():
         report[name] = rep
         dump()
 
+    if os.environ.get("PPS_PROFILE_HALO"):
+        # the sharded halo engine at ndev=1: same pipeline the multi-chip
+        # path runs (shard_map + exchange buffers, ppermutes degenerate),
+        # so the sharded ops have a measured single-chip cost too
+        from pressurepoissonsolver_tpu.parallel.halo import ShardedLevel
+        from pressurepoissonsolver_tpu.parallel.sharding import make_mesh
+
+        dtype = jnp.float32
+        lvl = Level(h.finest, dtype=dtype)
+        sl = ShardedLevel(lvl, make_mesh(1))
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal((lvl.P, n, n)), dtype=dtype)
+        bw = profiling._device_bw()
+        field = lvl.P * n**2 * jnp.dtype(dtype).itemsize
+        hrep = {}
+        for name, fn, args, bytes_needed in (
+            ("apply", sl.apply, (u,), 2 * field),
+            ("smooth", lambda x: sl.smooth(x, x), (u,), 3 * field),
+            ("interpolate", sl.interpolate, (u,), field),
+        ):
+            t = profiling.time_op(fn, *args, reps=200, in_graph=True)
+            hrep[name] = {"ms": round(t * 1e3, 6),
+                          "roofline_pct": round(100 * bytes_needed / bw / t, 2)}
+            print(f"  halo.{name:12s} {hrep[name]}", flush=True)
+        report["halo_ndev1_f32"] = hrep
+        dump()
+
     if out_path:
         print(f"wrote {out_path}", flush=True)
 

@@ -98,6 +98,29 @@ def test_mixed_bc_callable_matches_sides():
     assert not h_names.finest.neumann.all()
 
 
+def test_patch_granularity_invariance():
+    """Cutting the same composite grid into 4x fewer, 2x bigger patches
+    leaves the discretization identical: same-level interfaces are exact
+    halos (ghost = u_nbr), so only patch-boundary PLACEMENT changes, not
+    the assembled operator.  This is the property that lets the TPU build
+    choose its patch granularity for hardware efficiency (wider face rows,
+    fewer gather rows) independently of the reference's n=16 convention."""
+    t16 = refined_tree(2, 3, 2)
+    t16.refine_leaves()
+    t32 = refined_tree(2, 3, 2)
+    errs = []
+    for (t, n) in ((t16, 8), (t32, 16)):
+        h = DomainHierarchy(t, n=n)
+        s = PoissonSolver(h, SolveOptions(tol=1e-11))
+        f, exact = init_problem(h.finest, get_problem("trig", 2))
+        f = jnp.asarray(f)
+        res = s.solve(f)
+        rep = s.report(res.x, f, jnp.asarray(exact))
+        assert rep["residual"] < 1e-10
+        errs.append(rep["error"])
+    assert abs(errs[0] - errs[1]) < 1e-9 * abs(errs[0])
+
+
 def test_2d_neumann_solve():
     res, rep = _solve(2, levels=3, n=8, neumann=True)
     assert rep["residual"] < 1e-9
