@@ -33,11 +33,16 @@ def main():
     from pressurepoissonsolver_tpu.problems import get_problem, init_problem
     from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
 
-    # default: divide 3 -> 2.62M DOF, the closest match to the reference
-    # baseline problem size (2,129,920 DOF at divide 2 of its finer base
-    # mesh); smaller sizes are dispatch-latency-bound on TPU
-    divide = int(os.environ.get("PPS_BENCH_DIVIDE", "3"))
-    n = int(os.environ.get("PPS_BENCH_N", "16"))
+    # default: n=32 patches at divide 2 -> 2.62M DOF, the closest match to
+    # the reference baseline problem size (2,129,920 DOF at divide 2 of
+    # its finer base mesh).  The n=32 cutting of the SAME composite grid
+    # (identical discretization and error — same-level interfaces are
+    # exact halos; tests/test_solve.py::test_patch_granularity_invariance)
+    # is the TPU-preferred granularity: 4x fewer gather rows, 32-lane face
+    # rows (measured: f32 apply 225 -> 105 us, solve 0.163 -> 0.148 s vs
+    # n=16/divide-3).  Smaller sizes are dispatch-latency-bound on TPU.
+    divide = int(os.environ.get("PPS_BENCH_DIVIDE", "2"))
+    n = int(os.environ.get("PPS_BENCH_N", "32"))
     dtype_name = os.environ.get("PPS_BENCH_DTYPE", "ir")
 
     mesh_path = "/root/reference/apps/2d/meshes/multi_refine_8.bin"
@@ -145,6 +150,33 @@ def main():
     else:
         nnz_per_s = 5 * dof / apply64_s
 
+    # Schur-path complete solve (the reference's headline configuration):
+    # GMG-Woodbury-preconditioned BiCGStab on the interface system + final
+    # patch solves, f64 to 1e-10 (BASELINE: Schur+hypre 15-19 iterations,
+    # 6.37 s at 2.13M DOF on 1 core; Schur+AMGX 0.45 s on a GPU)
+    schur_extras = {}
+    if os.environ.get("PPS_BENCH_SCHUR", "1") != "0":
+        def run_schur():
+            u_s, res_s = solver.solve_schur(
+                f, tol=1e-10, max_iter=60, preconditioner="gmg"
+            )
+            u_s.block_until_ready()
+            return u_s, res_s
+
+        run_schur()  # compile
+        schur_s = float("inf")
+        for _ in range(max(timed_reps - 1, 1)):
+            t0 = time.time()
+            u_s, res_s = run_schur()
+            schur_s = min(schur_s, time.time() - t0)
+        rep_s = solver.report(u_s, f, jnp.asarray(exact))
+        schur_extras = {
+            "schur_complete_solve_s": round(schur_s, 4),
+            "schur_dof_per_s": round(dof / schur_s, 1),
+            "schur_iterations": int(res_s.iterations),
+            "schur_residual": rep_s["residual"],
+        }
+
     dof_per_s = dof / solve_s
     baseline_dof_per_s = 3.34e5  # reference 1-core Schur+hypre complete solve
     out = {
@@ -160,6 +192,7 @@ def main():
         "error": rep["error"],
         "stencil_nnz_per_s": round(nnz_per_s, 1),
         **extras,
+        **schur_extras,
         "compile_s": round(compile_and_first - solve_s, 2),
         "dtype": dtype_name,
         "device": str(jax.devices()[0]),

@@ -151,7 +151,13 @@ class Transfer:
         # a (y,x) Kronecker matmul plus a z contraction (3D).  Measured
         # 748 -> 76 us per restrict at bench size (scripts/
         # interp_experiment.py); the f64 path keeps the per-axis form.
-        self._use_kron = np.dtype(fine.dtype) == np.dtype(np.float32) and D in (2, 3)
+        from .ops.level_ops import kron_max_n
+
+        self._use_kron = (
+            np.dtype(fine.dtype) == np.dtype(np.float32)
+            and D in (2, 3)
+            and n <= kron_max_n()
+        )
         if self._use_kron:
             rmats = [_restrict_matrix(n, h) for h in range(2)]
             pmats = (

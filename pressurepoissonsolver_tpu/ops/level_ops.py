@@ -44,6 +44,19 @@ def _arr_axis(D: int, ref_axis: int) -> int:
     return 1 + (D - 1 - ref_axis)
 
 
+def kron_max_n() -> int:
+    """Largest patch size whose f32 spectral solves / GMG transfers use the
+    flat Kronecker form.  At n<=16 the [n^2, n^2] Kronecker matmul on
+    perfectly lane-tiled [P, n^2] rows beats per-axis small-minor-dim
+    matmul chains 2-10x (docs/PERFORMANCE.md round 3); the per-cell flop
+    cost grows as n^2 though, and at n=32 the [1024, 1024] form turns the
+    ops MXU-bound (measured: spectral 57 us at 45% roofline).  Tunable via
+    PPS_KRON_MAX_N for experiments."""
+    import os
+
+    return int(os.environ.get("PPS_KRON_MAX_N", "16"))
+
+
 def extract_faces(u: jnp.ndarray, D: int, n: int, depth: int = 1) -> jnp.ndarray:
     """Boundary-cell traces: ``[P, 2D*depth, m]`` with ``m = n**(D-1)``.
 
@@ -144,7 +157,7 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray) -> _SolverTab
         for kk in kinds_used
     }
     kron = None
-    if dtype == jnp.float32 and D in (2, 3):
+    if dtype == jnp.float32 and D in (2, 3) and n <= kron_max_n():
         scale = (2.0 / n) ** D
         kron = []
         for g in groups:

@@ -33,13 +33,14 @@ from pressurepoissonsolver_tpu.utils import profiling
 
 def main():
     divide = int(os.environ.get("PPS_ANATOMY_DIVIDE", "3"))
+    n = int(os.environ.get("PPS_ANATOMY_N", "16"))
     try:
         tree = Tree.from_file("/root/reference/apps/2d/meshes/multi_refine_8.bin", 2)
     except FileNotFoundError:
         tree = refined_tree(2, 5, 2)
     for _ in range(divide):
         tree.refine_leaves()
-    h = DomainHierarchy(tree, n=16)
+    h = DomainHierarchy(tree, n=n)
     opts = SolveOptions(
         tol=1e-10, dtype=jnp.float64, precond_dtype=jnp.float32,
         gmg=CycleOpts(pre_sweeps=2, fac_smoothing="active"),
@@ -75,6 +76,30 @@ def main():
     t_outer = add("outer_round(4 inner)", outer_body, f, reps=20)
     print(f"outer fixed overhead vs inner: {(t_outer - t_inner)*1e3:.3f} ms",
           flush=True)
+
+    # --- whole-solve accounting: in-graph steady state vs wall dispatch ---
+    # If the wall time of one dispatch far exceeds the in-graph steady
+    # state of the SAME program, the gap is program-launch/streaming
+    # overhead of the tunneled backend (scaling with program size), not
+    # device compute — i.e. an artifact a production (non-tunneled) TPU
+    # does not pay.
+    import time as _time
+
+    def full_ir(x):
+        u, rel, k, inner = s._inner_jit(
+            x, jnp.asarray(1e-10, x.dtype), jnp.asarray(1e-4, jnp.float32)
+        )
+        return u
+
+    s.solve_refined(f, tol=1e-10, inner_tol=1e-4)  # build + compile
+    t_graph = profiling.time_op(full_ir, f, reps=5, in_graph=True)
+    print(f"{'IR solve (in-graph x5)':28s} {t_graph*1e3:9.3f} ms", flush=True)
+    best = float("inf")
+    for _ in range(5):
+        t0 = _time.time()
+        jax.block_until_ready(full_ir(f))
+        best = min(best, _time.time() - t0)
+    print(f"{'IR solve (wall/dispatch)':28s} {best*1e3:9.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

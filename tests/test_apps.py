@@ -87,6 +87,37 @@ def test_residual_history():
     assert hist[int(res.iterations)] / hist[0] < 1e-10
 
 
+def test_cli_monitor_prints_history(tmp_path, capsys):
+    rc = main(2, ["--uniform", "2", "-n", "8", "-t", "1e-10",
+                  "--monitor", "--max_iterations", "40"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if "rel residual" in l]
+    assert len(lines) >= 2
+    assert "1.000000e+00" in lines[0]
+    assert float(lines[-1].split()[-1]) < 1e-10
+
+
+def test_cli_schur_gmg_prec(tmp_path):
+    out_json = str(tmp_path / "out.json")
+    rc = main(2, ["--uniform", "3", "-n", "8", "--schur", "--prec", "GMG",
+                  "-t", "1e-10", "--out-json", out_json])
+    assert rc == 0
+    rep = json.load(open(out_json))
+    assert rep["residual"] < 1e-9
+    assert rep["iterations"] <= 12
+
+
+def test_cli_neumann_sides(tmp_path):
+    out_json = str(tmp_path / "out.json")
+    rc = main(2, ["--uniform", "3", "-n", "8", "-t", "1e-10",
+                  "--neumann-sides", "x_lo,y_hi", "--out-json", out_json])
+    assert rc == 0
+    rep = json.load(open(out_json))
+    assert rep["residual"] < 1e-9
+    assert rep["error"] < 3e-2
+
+
 def test_out_matrix_rhs(tmp_path):
     import scipy.sparse as sp
 
