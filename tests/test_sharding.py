@@ -136,6 +136,35 @@ def test_public_sharded_solver_matches_single_device():
     assert np.abs(np.asarray(r8.x)[nr:]).max() == 0.0
 
 
+def test_public_sharded_mixed_bc_matches_single_device():
+    """Per-side Neumann walls through the halo engine: the multi-group
+    spectral path (REDFT11/RODFT11 per-axis kinds) must match the
+    single-device solve."""
+    from pressurepoissonsolver_tpu.problems import get_problem, init_problem
+    from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
+
+    ndev = 8
+    mesh = make_mesh(ndev)
+    t = refined_tree(2, 3, 1)
+    sides = ["x_lo", "y_hi"]
+
+    h1 = DomainHierarchy(t, n=8, neumann=sides)
+    s1 = PoissonSolver(h1, SolveOptions(tol=1e-11))
+    f1, _ = init_problem(h1.finest, get_problem("trig", 2))
+    r1 = s1.solve(jnp.asarray(f1))
+
+    h8 = DomainHierarchy(t, n=8, neumann=sides, num_shards=ndev)
+    s8 = PoissonSolver(h8, SolveOptions(tol=1e-11), mesh=mesh)
+    f8, _ = init_problem(h8.finest, get_problem("trig", 2))
+    r8 = s8.solve(jnp.asarray(f8))
+
+    assert float(r8.residual_norm / r8.r0_norm) < 1e-10
+    pos, nr = _id_align(h8.finest, h1.finest)
+    np.testing.assert_allclose(
+        np.asarray(r8.x)[:nr], np.asarray(r1.x)[pos], atol=1e-9
+    )
+
+
 def test_public_sharded_solve_refined():
     """Mixed-precision IR through the public API on the 8-device mesh."""
     from pressurepoissonsolver_tpu.problems import get_problem, init_problem
