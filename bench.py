@@ -33,16 +33,17 @@ def main():
     from pressurepoissonsolver_tpu.problems import get_problem, init_problem
     from pressurepoissonsolver_tpu.solver import PoissonSolver, SolveOptions
 
-    # default: n=32 patches at divide 2 -> 2.62M DOF, the closest match to
+    # default: n=64 patches at divide 1 -> 2.62M DOF, the closest match to
     # the reference baseline problem size (2,129,920 DOF at divide 2 of
-    # its finer base mesh).  The n=32 cutting of the SAME composite grid
+    # its finer base mesh).  The n=64 cutting of the SAME composite grid
     # (identical discretization and error — same-level interfaces are
     # exact halos; tests/test_solve.py::test_patch_granularity_invariance)
-    # is the TPU-preferred granularity: 4x fewer gather rows, 32-lane face
-    # rows (measured: f32 apply 225 -> 105 us, solve 0.163 -> 0.148 s vs
-    # n=16/divide-3).  Smaller sizes are dispatch-latency-bound on TPU.
-    divide = int(os.environ.get("PPS_BENCH_DIVIDE", "2"))
-    n = int(os.environ.get("PPS_BENCH_N", "32"))
+    # is the TPU-preferred granularity: 16x fewer gather rows than n=16,
+    # 64-lane face rows (measured r4: f32 apply 225 (n=16) -> 105 (n=32)
+    # -> 43 us = 59.7% of HBM roofline; n=128 regresses to 56 us).
+    # Smaller patch sizes are gather-row/dispatch-latency-bound on TPU.
+    divide = int(os.environ.get("PPS_BENCH_DIVIDE", "1"))
+    n = int(os.environ.get("PPS_BENCH_N", "64"))
     dtype_name = os.environ.get("PPS_BENCH_DTYPE", "ir")
 
     mesh_path = "/root/reference/apps/2d/meshes/multi_refine_8.bin"
@@ -94,14 +95,19 @@ def main():
             # mixed-precision iterative refinement: f32 Krylov + GMG inner
             # solves, f64 residual updates — reaches 1e-10 with nearly all
             # work in f32; the whole outer loop is one jitted while_loop
-            u, info = solver.solve_refined(f, tol=1e-10, inner_tol=inner_tol)
+            # sync=False keeps the iteration-count diagnostics on device:
+            # each host scalar fetch is a full relay round trip (~24 ms)
+            # on the tunneled backend and is NOT part of the solve
+            # (scripts/solve_anatomy.py: 138.8 -> 68.8 ms wall)
+            u, info = solver.solve_refined(
+                f, tol=1e-10, inner_tol=inner_tol, sync=False)
             return u, {
                 "outer": info["outer_iterations"],
                 "inner": info["inner_iterations"],
             }
 
         res = solver.solve(f, max_iter=200)
-        return res.x, {"outer": 1, "inner": int(res.iterations)}
+        return res.x, {"outer": 1, "inner": res.iterations}
 
     # warm-up (compile)
     t0 = time.time()
@@ -117,6 +123,7 @@ def main():
         u, iters = run_solve()
         u.block_until_ready()
         solve_s = min(solve_s, time.time() - t0)
+    iters = {k: int(v) for k, v in iters.items()}  # fetch after timing
 
     rep = solver.report(u, f, jnp.asarray(exact))
     res_x = u

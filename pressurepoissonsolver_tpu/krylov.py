@@ -292,7 +292,13 @@ def gmres(
         y = jax.scipy.linalg.solve_triangular(R, jnp.where(act, g[:restart], 0.0))
         dx = V[:restart].T @ y
         x = x + Mf(dx)
-        rnorm = jnp.abs(g[kdone])
+        # the Givens estimate |g[kdone]| drifts from the true residual when
+        # the (masked-MGS) Arnoldi basis loses orthogonality on hard
+        # nonsymmetric systems — it can claim convergence spuriously.
+        # Check the TRUE residual at every cycle boundary (one extra apply
+        # per `restart` iterations); a false estimate then just triggers
+        # another (orthogonality-restoring) restart instead of a wrong exit.
+        rnorm = _norm(bf - Af(x))
         return (x, rnorm, it + kdone)
 
     def cond(state):

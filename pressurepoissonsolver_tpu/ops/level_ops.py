@@ -268,10 +268,11 @@ class _ContribPipeline:
     Ks: int
     idx_s: jnp.ndarray  # [NIf*Ks] flat face-row ids (pad -> zero row)
     w_s: jnp.ndarray  # [NIf, Ks, 1] scalar weights (0 on pads)
-    idx_m: Optional[jnp.ndarray]  # [Cm] flat face-row ids (case-sorted)
-    mm_segs: Optional[list]  # [(start, stop, T [m,m])] case segments
+    idx_m: Optional[jnp.ndarray]  # [Cm+1] flat face-row ids (last -> zero row)
+    mm_W: Optional[jnp.ndarray]  # [m, ncase_m*m] all case templates stacked
+    mm_ncase: int
     Km: int
-    mm_gather: Optional[jnp.ndarray]  # [NIfm*Km] rows into vals (pad -> Cm)
+    mm_gather: Optional[jnp.ndarray]  # [NIfm*Km] -> r*ncase+case (pad -> Cm*ncase)
     mm_inv: Optional[jnp.ndarray]  # [NIf] -> compact mm row (pad -> NIfm)
 
     def interpolate(self, faces: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -284,24 +285,20 @@ class _ContribPipeline:
         gs = ffp[self.idx_s].reshape(self.num_ifaces, self.Ks, m)
         gamma = jnp.sum(gs * self.w_s.astype(faces.dtype), axis=1)
         if self.idx_m is not None:
-            # refinement-boundary templates: one [R, m] @ [m, m] matmul per
-            # case segment in true f32 (a per-row einsum lowers to tiny
-            # batched matvecs; bf16 default passes cost ~3 digits that the
-            # 2/h^2 ghost closure amplifies into O(1e-3) operator error)
-            gm = ffp[self.idx_m]  # [Cm, m]
-            parts = [
-                jnp.matmul(
-                    jax.lax.slice_in_dim(gm, a, b, axis=0),
-                    T.T.astype(faces.dtype),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for a, b, T in self.mm_segs
-            ]
-            vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-            vp = jnp.concatenate(
-                [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
-            )
-            sums = vp[self.mm_gather].reshape(-1, self.Km, m).sum(axis=1)
+            # refinement-boundary templates: ALL case templates in ONE
+            # [Cm, m] @ [m, ncase*m] matmul in true f32 (a per-row einsum
+            # lowers to tiny batched matvecs; bf16 default passes cost ~3
+            # digits that the 2/h^2 ghost closure amplifies into O(1e-3)
+            # operator error).  The per-row case selection is folded into
+            # the placement gather (row r, case k -> r*ncase + k); the
+            # last idx_m entry reads the zero face row, so row Cm*ncase is
+            # a guaranteed-zero pad with no extra concat.
+            gm = ffp[self.idx_m]  # [Cm+1, m]
+            vals = jnp.matmul(
+                gm, self.mm_W.astype(faces.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape((gm.shape[0]) * self.mm_ncase, m)
+            sums = vals[self.mm_gather].reshape(-1, self.Km, m).sum(axis=1)
             sp = jnp.concatenate(
                 [sums, jnp.zeros((1, m), dtype=sums.dtype)], axis=0
             )
@@ -337,33 +334,35 @@ def _build_contrib_pipeline(
             idx_s[i, k] = flat[c]
             w_s[i, k, 0] = case_scalar[int(contrib_case[c])]
     f = jnp.asarray
-    idx_m = mm_segs = mm_gather = mm_inv = None
-    Km = 0
+    idx_m = mm_W = mm_gather = mm_inv = None
+    Km = ncase_m = 0
     mc = np.where(is_mm)[0]
     if len(mc):
         order = mc[np.lexsort((mc, contrib_case[mc]))]
         cs = contrib_case[order]
-        mm_segs = []
-        a = 0
-        while a < len(order):
-            b = a
-            while b < len(order) and cs[b] == cs[a]:
-                b += 1
-            mm_segs.append((a, b, f(case_T[int(cs[a])]).astype(dtype)))
-            a = b
+        cases_present = sorted(set(int(k) for k in cs))
+        case_col = {k: j for j, k in enumerate(cases_present)}
+        ncase_m = len(cases_present)
+        m = case_T.shape[1]
+        W = np.concatenate([case_T[k].T for k in cases_present], axis=1)
         mm_if = np.unique(contrib_iface[order])
         remap = np.full(num_ifaces, -1, dtype=np.int64)
         remap[mm_if] = np.arange(len(mm_if))
         by_mm = [[] for _ in range(len(mm_if))]
         for r, c in enumerate(order):
-            by_mm[int(remap[contrib_iface[c]])].append(r)
+            # row r of the merged matmul output, case block of c
+            by_mm[int(remap[contrib_iface[c]])].append(
+                r * ncase_m + case_col[int(contrib_case[c])]
+            )
         Km = max(len(v) for v in by_mm)
-        gath = np.full((len(mm_if), Km), len(order), dtype=np.int32)
+        pad_val = len(order) * ncase_m  # the appended zero-source row
+        gath = np.full((len(mm_if), Km), pad_val, dtype=np.int32)
         for i, v in enumerate(by_mm):
             gath[i, : len(v)] = v
         inv = np.full(num_ifaces, len(mm_if), dtype=np.int32)
         inv[mm_if] = np.arange(len(mm_if))
-        idx_m = f(flat[order].astype(np.int32))
+        idx_m = f(np.concatenate([flat[order], [pad_row]]).astype(np.int32))
+        mm_W = f(W).astype(dtype)
         mm_gather = f(gath.reshape(-1))
         mm_inv = f(inv)
     return _ContribPipeline(
@@ -372,7 +371,8 @@ def _build_contrib_pipeline(
         idx_s=f(idx_s.reshape(-1)),
         w_s=f(w_s).astype(dtype),
         idx_m=idx_m,
-        mm_segs=mm_segs,
+        mm_W=mm_W,
+        mm_ncase=ncase_m,
         Km=Km,
         mm_gather=mm_gather,
         mm_inv=mm_inv,
@@ -528,6 +528,11 @@ class Level:
         # (StarPatchOp.h:39-65: interface/Dirichlet rows -3u_b, Neumann -1u_b)
         coef = np.where(patch_level.neumann, 1.0, -1.0)
         self.ghost_coef = f(coef).astype(dtype)  # [P, 2D]
+        # apply fast path: own-face gf term folded into the ghost closure
+        # (ghost = (c + 2*w_own)*u_b + 2*w_mix*mix; 0 on direct sides)
+        self.ghost_coef_eff = (
+            self.ghost_coef + 2.0 * self._gf_w_own[:, :, 0].astype(dtype)
+        )
 
         self._build_solver_groups()
         self._jit_cache = {}
@@ -620,14 +625,15 @@ class Level:
         self._gf_w_own = f(w_own).astype(dtype)
         self._gf_w_mix = f(w_mix).astype(dtype)
 
-    def _gf_faces(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Per-patch-side interface traces ``[P, 2D, m]`` computed directly
-        (direct sides: halo of neighbor faces; refinement sides: compact
-        contribution pipeline) — the apply/smooth fast path."""
+    def _gf_parts(self, u: jnp.ndarray):
+        """``(w_mix * mix, own)`` of the direct gf pipeline, both
+        ``[P, 2D, m]`` (direct sides: halo of neighbor faces; refinement
+        sides: compact contribution pipeline)."""
         D, m, P = self.D, self.m, self.P
         S2 = 2 * D
         if self.num_ifaces == 0:
-            return jnp.zeros((P, S2, m), dtype=u.dtype)
+            z = jnp.zeros((P, S2, m), dtype=u.dtype)
+            return z, z
         faces = extract_faces(u, D, self.n, self.face_depth)  # [P, S2f, m]
         ff = faces.reshape(-1, m)
         own = faces.reshape(P, S2, self.face_depth, m)[:, :, 0]  # [P, S2, m]
@@ -639,10 +645,13 @@ class Level:
             [ff, gref, jnp.zeros((1, m), dtype=u.dtype)], axis=0
         )
         mix = combined[self._gf_mix_idx].reshape(P, S2, m)
-        return (
-            self._gf_w_own.astype(u.dtype) * own
-            + self._gf_w_mix.astype(u.dtype) * mix
-        )
+        return self._gf_w_mix.astype(u.dtype) * mix, own
+
+    def _gf_faces(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Per-patch-side interface traces ``[P, 2D, m]`` — the
+        apply/smooth fast path."""
+        mix_scaled, own = self._gf_parts(u)
+        return self._gf_w_own.astype(u.dtype) * own + mix_scaled
 
     # -- sharding ------------------------------------------------------------
 
@@ -727,8 +736,18 @@ class Level:
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         """Composite-grid operator ``A u`` (``SchurHelper.h:360-376``),
         via the direct gf pipeline (same values as
-        ``apply_with_interface(u, interpolate(u))``)."""
-        return self._stencil_with_faces(u, self._gf_faces(u))
+        ``apply_with_interface(u, interpolate(u))``).
+
+        Fast path: ``ghost = c*u_b + 2*(w_own*u_b + w_mix*mix)`` — the
+        own-face term is folded into an effective ghost coefficient
+        (``c + 2*w_own``; exactly 0 on direct sides, where the ghost is
+        the plain neighbor-face halo), so the stencil consumes the mixed
+        term directly and the own-face combine pass disappears."""
+        mix_scaled, _ = self._gf_parts(u)
+        return self._constrain_p(
+            _star_stencil(u, mix_scaled, self.ghost_coef_eff,
+                          self.h2inv, self.D, self.n)
+        )
 
     def _fold_gamma_into_rhs(self, fc: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
         """``f_slice -= 2/h^2 * gamma`` on every neighbored side

@@ -311,6 +311,7 @@ class PoissonSolver:
         inner_tol: float = 1e-5,
         max_outer: int = 12,
         inner_max_iter: int = 60,
+        sync: bool = True,
     ):
         """Mixed-precision iterative refinement: inner GMG-BiCGStab solves
         in the preconditioner dtype (f32), residual updates in f64.
@@ -434,6 +435,15 @@ class PoissonSolver:
         u, rel, k, inner_total = self._inner_jit(
             f, jnp.asarray(tol, f.dtype), jnp.asarray(inner_tol, pdtype)
         )
+        if not sync:
+            # leave the diagnostics on device: each host fetch is a full
+            # relay round trip (~24 ms) on the tunneled backend, which
+            # would otherwise dominate a timed solve (scripts/solve_anatomy)
+            return u, {
+                "outer_iterations": k,
+                "inner_iterations": inner_total,
+                "residual": rel,
+            }
         info = {
             "outer_iterations": int(k),
             "inner_iterations": int(inner_total),

@@ -67,15 +67,11 @@ def main():
     if pipe.idx_m is not None:
         def mm_path(f):
             gm = f[pipe.idx_m]
-            parts = [
-                jnp.matmul(jax.lax.slice_in_dim(gm, a, b, axis=0),
-                           T.T.astype(f.dtype),
-                           precision=jax.lax.Precision.HIGHEST)
-                for a, b, T in pipe.mm_segs
-            ]
-            vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-            vp = jnp.concatenate([vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0)
-            return vp[pipe.mm_gather].reshape(-1, pipe.Km, m).sum(axis=1)
+            vals = jnp.matmul(
+                gm, pipe.mm_W.astype(f.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(gm.shape[0] * pipe.mm_ncase, m)
+            return vals[pipe.mm_gather].reshape(-1, pipe.Km, m).sum(axis=1)
 
         add("mm_path", mm_path, ffp)
         NIfm = pipe.mm_gather.shape[0] // pipe.Km
