@@ -18,7 +18,11 @@ def main():
     mesh = os.environ.get(
         "PPS_BENCH3D_MESH", "/root/reference/apps/3d/meshes/multi_refine.bin"
     )
-    n = int(os.environ.get("PPS_BENCH3D_N", "16"))
+    # default: the n=32 cutting of the reference mesh's once-divided grid
+    # (n=32/divide-0 == n=16/divide-1 bit-identically, 3.93M DOF —
+    # tests/test_solve.py::test_patch_granularity_invariance_3d); wider
+    # face rows cut the solve 0.238 -> 0.163 s (round 4)
+    n = int(os.environ.get("PPS_BENCH3D_N", "32"))
     divide = int(os.environ.get("PPS_BENCH3D_DIVIDE", "0"))
     tree = Tree.from_file(mesh, 3)
     for _ in range(divide):
