@@ -72,6 +72,7 @@ def main():
         # relax-everywhere behavior
         fac_smoothing=os.environ.get("PPS_BENCH_FAC", "active"),
         fac_active_ring=int(os.environ.get("PPS_BENCH_FAC_RING", "1")),
+        coarse_pre_sweeps=int(os.environ.get("PPS_BENCH_COARSE_PRE", "0")),
     )
     inner = os.environ.get("PPS_BENCH_INNER", "bicgstab")
     if dtype_name == "float32":

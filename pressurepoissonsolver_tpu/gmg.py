@@ -62,6 +62,11 @@ class CycleOpts:
     # whole level) — "full" reproduces that.
     fac_smoothing: str = "full"  # "full" | "active"
     fac_active_ring: int = 1
+    # Per-level sweep split: coarse-level visits are launch-latency-bound
+    # on TPU (each op costs ~50-100 us in-graph regardless of level size),
+    # so trimming sweeps below the finest level cuts cycle wall-clock far
+    # more than it weakens the correction.  0 = use pre_sweeps everywhere.
+    coarse_pre_sweeps: int = 0
 
 
 def _axis_matmul(M: jnp.ndarray, x: jnp.ndarray, ax: int) -> jnp.ndarray:
@@ -462,17 +467,19 @@ class GMGCycle:
                 u = lvl.smooth(f, u)
             return u
         mask = self._active[k]
-        if opts.pre_sweeps <= 0 or isinstance(mask, str):  # "skip"
+        pre = opts.pre_sweeps if (k == 0 or opts.coarse_pre_sweeps <= 0) \
+            else opts.coarse_pre_sweeps
+        if pre <= 0 or isinstance(mask, str):  # "skip"
             u = lvl.zeros().astype(f.dtype)
         elif self._asmooth[k] is not None:
             u = self._asmooth[k].smooth_zero(f)
-            for _ in range(opts.pre_sweeps - 1):
+            for _ in range(pre - 1):
                 u = self._smooth(k, f, u)
         else:
             u = lvl.smooth_zero(f)
             if mask is not None:
                 u = jnp.where(mask, u, jnp.zeros((), dtype=u.dtype))
-            for _ in range(opts.pre_sweeps - 1):
+            for _ in range(pre - 1):
                 u = self._smooth(k, f, u)
         if opts.cycle_type == "W":
             u = self._w_recurse(k, f, u)
@@ -488,7 +495,9 @@ class GMGCycle:
         nbr(active) only (or is ``f`` exactly when nothing was relaxed)."""
         lvl = self.levels[k]
         mask = self._active[k]
-        if first and (isinstance(mask, str) or self.opts.pre_sweeps <= 0):
+        pre = self.opts.pre_sweeps if (k == 0 or self.opts.coarse_pre_sweeps <= 0) \
+            else self.opts.coarse_pre_sweeps
+        if first and (isinstance(mask, str) or pre <= 0):
             return f  # u = 0: nothing was relaxed on this level yet
         if first and self._aapply[k] is not None:
             return f - self._aapply[k].apply_scattered(u)

@@ -26,6 +26,7 @@ preconditioner level.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -102,9 +103,14 @@ class _SolverTables:
     # where default-precision MXU passes are plenty (measured 27 -> 14 us
     # at bench size vs the per-axis form).
     kron: Optional[list] = None
+    # matmul precision for the transforms: None = backend default (bf16
+    # passes on TPU — fine for smoothing); HIGHEST for the refined-f64
+    # correction solver, whose per-pass contraction is eps(transform)*cond
+    prec: Optional[jax.lax.Precision] = None
 
 
-def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray) -> _SolverTables:
+def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray,
+                         prec=None) -> _SolverTables:
     """BC-grouped spectral solver tables for patch slots ``slots`` (the
     reference's plan cache keyed on (neumann bits, h),
     ``FftwPatchSolver.h:33-47``, generalized to an arbitrary patch subset
@@ -157,7 +163,7 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray) -> _SolverTab
         for kk in kinds_used
     }
     kron = None
-    if dtype == jnp.float32 and D in (2, 3) and n <= kron_max_n():
+    if prec is None and dtype == jnp.float32 and D in (2, 3) and n <= kron_max_n():
         scale = (2.0 / n) ** D
         kron = []
         for g in groups:
@@ -185,6 +191,7 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray) -> _SolverTab
         groups=groups,
         tmats=tmats,
         kron=kron,
+        prec=prec,
     )
 
 
@@ -424,13 +431,13 @@ def _spectral_apply(st: _SolverTables, fc: jnp.ndarray, D: int, n: int) -> jnp.n
         x = jax.lax.slice_in_dim(fs, g.start, g.stop, axis=0)
         dn = jax.lax.slice_in_dim(st.denom_sorted, g.start, g.stop, axis=0)
         for a in range(D):
-            x = Level._apply_transform(st.tmats[g.fwd_kinds[a]], x, _arr_axis(D, a))
+            x = Level._apply_transform(st.tmats[g.fwd_kinds[a]], x, _arr_axis(D, a), st.prec)
         x = x / dn
         if g.pin_dc:
             zero_idx = (slice(None),) + (0,) * D
             x = x.at[zero_idx].set(0.0)
         for a in range(D):
-            x = Level._apply_transform(st.tmats[g.inv_kinds[a]], x, _arr_axis(D, a))
+            x = Level._apply_transform(st.tmats[g.inv_kinds[a]], x, _arr_axis(D, a), st.prec)
         parts.append(x * scale)
     us = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     if st.identity_perm:
@@ -684,6 +691,50 @@ class Level:
         self._st = _build_solver_tables(
             self.pl, self.dtype, np.arange(self.P, dtype=np.int64)
         )
+        # f64 patch-solve fast path: XLA's emulated f64 MXU matmuls run
+        # ~300x slower than f32 (measured 19.4 ms vs 61 us at bench size),
+        # so f64 spectral solves are done as iteratively-refined f32
+        # solves instead: u += solve32(fc - K_local u), with the residual
+        # in true f64 (the local operator is a cheap elementwise stencil).
+        # Each pass contracts the error by ~eps32*cond(K); 3 passes reach
+        # ~1e-13 relative — the same backward-error class as a direct
+        # f64 solve.  "auto" enables it on TPU only (CPU f64 matmuls are
+        # native and fast; tests stay bit-exact there).
+        self._st32 = None
+        mode = os.environ.get("PPS_F64_SOLVER", "auto")
+        if self.dtype == jnp.float64 and mode != "exact" and (
+            mode == "ir" or jax.default_backend() == "tpu"
+        ):
+            self._st32 = _build_solver_tables(
+                self.pl, jnp.float32, np.arange(self.P, dtype=np.int64),
+                prec=jax.lax.Precision.HIGHEST,
+            )
+
+    def _local_stencil(self, u: jnp.ndarray) -> jnp.ndarray:
+        """The per-patch operator ``K_local u`` the spectral solver
+        diagonalizes: the star stencil with pure ghost closures
+        (``ghost = c * u_b``, interface values already folded into the
+        RHS).  Used by the refined-f32 f64 patch solve."""
+        D, n = self.D, self.n
+        P = u.shape[0]
+        out = jnp.zeros_like(u)
+        for a in range(D):
+            ax = _arr_axis(D, a)
+            u_lo = jnp.take(u, 0, axis=ax)
+            u_hi = jnp.take(u, n - 1, axis=ax)
+            c_lo = self.ghost_coef[:, 2 * a].astype(u.dtype).reshape(
+                (P,) + (1,) * (D - 1))
+            c_hi = self.ghost_coef[:, 2 * a + 1].astype(u.dtype).reshape(
+                (P,) + (1,) * (D - 1))
+            lo = jnp.concatenate(
+                [jnp.expand_dims(c_lo * u_lo, ax),
+                 jax.lax.slice_in_dim(u, 0, n - 1, axis=ax)], axis=ax)
+            hi = jnp.concatenate(
+                [jax.lax.slice_in_dim(u, 1, n, axis=ax),
+                 jnp.expand_dims(c_hi * u_hi, ax)], axis=ax)
+            h2i = self.h2inv[:, a].astype(u.dtype).reshape((P,) + (1,) * D)
+            out = out + (lo - 2.0 * u + hi) * h2i
+        return out
 
     # solver-table views (the halo engine re-blocks these per shard)
     @property
@@ -763,14 +814,18 @@ class Level:
         return _fold_faces_flat(fc, gf, self.h2inv, self.D, self.n)
 
     @staticmethod
-    def _apply_transform(M: jnp.ndarray, x: jnp.ndarray, ax: int) -> jnp.ndarray:
-        """Apply n×n transform along array axis ``ax`` as one big matmul."""
+    def _apply_transform(M: jnp.ndarray, x: jnp.ndarray, ax: int,
+                         prec=None) -> jnp.ndarray:
+        """Apply n×n transform along array axis ``ax`` as one big matmul.
+
+        ``prec=None`` (backend default, bf16 MXU passes on TPU) serves the
+        smoother/preconditioner; the refined-f64 correction solver passes
+        HIGHEST (true f32), since its per-pass contraction is
+        eps(transform) * cond."""
         n = M.shape[0]
         moved = jnp.moveaxis(x, ax, -1)
         shape = moved.shape
-        # default matmul precision: the spectral solves only serve the
-        # smoother/preconditioner, where bf16 MXU passes are plenty
-        y = moved.reshape(-1, n) @ M.T
+        y = jnp.matmul(moved.reshape(-1, n), M.T, precision=prec)
         return jnp.moveaxis(y.reshape(shape), -1, ax)
 
     def patch_solve_faces(self, f: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
@@ -795,6 +850,20 @@ class Level:
         return self._spectral_solve(fc)
 
     def _spectral_solve(self, fc: jnp.ndarray) -> jnp.ndarray:
+        if self._st32 is not None and fc.dtype == jnp.float64:
+            # refined-f32 f64 solve (see _build_solver_groups): each pass
+            # is one f32 spectral solve + one f64 elementwise residual
+            passes = int(os.environ.get("PPS_F64_SOLVER_PASSES", "3"))
+
+            def s32(r):
+                return _spectral_apply(
+                    self._st32, r.astype(jnp.float32), self.D, self.n
+                ).astype(jnp.float64)
+
+            u = s32(fc)
+            for _ in range(passes):
+                u = u + s32(fc - self._local_stencil(u))
+            return self._constrain_p(u)
         return self._constrain_p(_spectral_apply(self._st, fc, self.D, self.n))
 
     def smooth(self, f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
