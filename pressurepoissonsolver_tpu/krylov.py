@@ -221,9 +221,11 @@ def gmres(
     target = r0_norm * tol
 
     def cycle(state):
-        x, rnorm, it = state
-        r = bf - Af(x)
-        beta = _norm(r)
+        # r is carried from the previous cycle's true-residual check (one
+        # operator apply per cycle total — recomputing it here would pay a
+        # second apply XLA cannot CSE across while_loop iterations)
+        x, r, rnorm, it = state
+        beta = rnorm
         safe_beta = jnp.where(beta != 0, beta, 1.0)
         V0 = jnp.zeros((restart + 1, N), dtype=dtype).at[0].set(r / safe_beta)
         H = jnp.zeros((restart + 1, restart), dtype=dtype)
@@ -267,17 +269,29 @@ def gmres(
             g_j1 = -sj * g[j]
             g_new = g.at[j + 1].set(g_j1).at[j].set(cj * g[j])
             active = jnp.logical_not(done)
+            # degenerate column: the rotated diagonal is (numerically)
+            # zero, i.e. A M V[j] lies entirely in the previous Krylov
+            # subspace (happens after a lucky breakdown — w = 0 — once
+            # the preconditioned system converges mid-cycle).  Counting
+            # this column would put a zero on the active diagonal of R
+            # and NaN the triangular solve; freeze the state instead and
+            # let the cycle-boundary true-residual check decide.
+            degenerate = denom <= 0.0
+            take = jnp.logical_and(active, jnp.logical_not(degenerate))
 
             def upd(orig, new):
-                return jnp.where(active, new, orig)
+                return jnp.where(take, new, orig)
 
             V = upd(V, V_new)
             H = upd(H, H.at[:, j].set(h))
             cs = upd(cs, cs.at[j].set(cj))
             sn = upd(sn, sn.at[j].set(sj))
             g = upd(g, g_new)
-            kdone = jnp.where(active, j + 1, kdone)
-            done = jnp.logical_or(done, jnp.abs(g_j1) <= target)
+            kdone = jnp.where(take, j + 1, kdone)
+            done = jnp.logical_or(
+                done,
+                jnp.logical_or(degenerate, jnp.abs(g_j1) <= target),
+            )
             return (V, H, cs, sn, g, done, kdone)
 
         V, H, cs, sn, g, done, kdone = jax.lax.fori_loop(
@@ -291,24 +305,35 @@ def gmres(
         R = R + jnp.diag(jnp.where(act, 0.0, 1.0).astype(dtype))
         y = jax.scipy.linalg.solve_triangular(R, jnp.where(act, g[:restart], 0.0))
         dx = V[:restart].T @ y
-        x = x + Mf(dx)
         # the Givens estimate |g[kdone]| drifts from the true residual when
         # the (masked-MGS) Arnoldi basis loses orthogonality on hard
         # nonsymmetric systems — it can claim convergence spuriously.
-        # Check the TRUE residual at every cycle boundary (one extra apply
-        # per `restart` iterations); a false estimate then just triggers
-        # another (orthogonality-restoring) restart instead of a wrong exit.
-        rnorm = _norm(bf - Af(x))
-        return (x, rnorm, it + kdone)
+        # Check the TRUE residual at every cycle boundary (one apply per
+        # `restart` iterations, reused as the next cycle's r); a false
+        # estimate then just triggers another (orthogonality-restoring)
+        # restart instead of a wrong exit.
+        x_new = x + Mf(dx)
+        r_new = bf - Af(x_new)
+        rnorm_new = _norm(r_new)
+        # reject a non-finite update (breakdown despite the degenerate-
+        # column guard): keep the last good iterate; `it` still advances
+        # (>= 1 per cycle) so the loop terminates at max_iter
+        ok = jnp.isfinite(rnorm_new)
+        x = jnp.where(ok, x_new, x)
+        r = jnp.where(ok, r_new, r)
+        rnorm = jnp.where(ok, rnorm_new, rnorm)
+        return (x, r, rnorm, it + jnp.maximum(kdone, 1))
 
     def cond(state):
-        x, rnorm, it = state
+        x, r, rnorm, it = state
         return jnp.logical_and(rnorm > target, it < max_iter)
 
-    x, rnorm, it = jax.lax.while_loop(cond, cycle, (x, r0_norm, jnp.int32(0)))
+    x, r, rnorm, it = jax.lax.while_loop(
+        cond, cycle, (x, r, r0_norm, jnp.int32(0))
+    )
     x = x.reshape(shape)
     return KrylovResult(
-        x=x, iterations=it, residual_norm=_norm(bf - Af(x.ravel())), r0_norm=r0_norm
+        x=x, iterations=it, residual_norm=rnorm, r0_norm=r0_norm
     )
 
 

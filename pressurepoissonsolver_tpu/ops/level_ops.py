@@ -195,6 +195,33 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray,
     )
 
 
+def _face_pad_sum(
+    gf: jnp.ndarray,
+    h2inv: jnp.ndarray,
+    D: int,
+    n: int,
+    dtype,
+) -> jnp.ndarray:
+    """``sum_sides h^-2 * pad(gf_face)`` as one fused elementwise pass.
+
+    The pad-spread form is the TPU-fast way to add face terms into a
+    full field: the ``.at[].add`` slice-update form costs a full-array
+    copy per side (measured 73 us -> 1 us at bench size,
+    docs/PERFORMANCE.md round 3)."""
+    P = gf.shape[0]
+    add = None
+    for a in range(D):
+        ax = _arr_axis(D, a)
+        h2i = h2inv[:, a].astype(dtype).reshape((P,) + (1,) * D)
+        for side, pos in ((2 * a, 0), (2 * a + 1, n - 1)):
+            face = gf[:, side].reshape((P,) + (n,) * (D - 1))
+            widths = [(0, 0)] * (D + 1)
+            widths[ax] = (pos, n - 1 - pos)
+            term = h2i * jnp.pad(jnp.expand_dims(face, ax), widths)
+            add = term if add is None else add + term
+    return add
+
+
 def _fold_faces_flat(
     fc: jnp.ndarray,
     gf: jnp.ndarray,
@@ -203,22 +230,8 @@ def _fold_faces_flat(
     n: int,
 ) -> jnp.ndarray:
     """``f_slice -= 2/h^2 * gf`` on every face, pad-spread form
-    (``StarPatchOp::addInterfaceToRHS``, ``StarPatchOp.h:185-203``).
-
-    Expressed as ``fc - 2 * sum_of_padded_faces`` so XLA fuses the pads
-    into one elementwise pass — the ``.at[].add`` slice-update form costs
-    a full-array copy per side (measured 73 us -> 1 us at bench size)."""
-    P = fc.shape[0]
-    add = None
-    for a in range(D):
-        ax = _arr_axis(D, a)
-        h2i = h2inv[:, a].astype(fc.dtype).reshape((P,) + (1,) * D)
-        for side, pos in ((2 * a, 0), (2 * a + 1, n - 1)):
-            face = gf[:, side].reshape((P,) + (n,) * (D - 1))
-            widths = [(0, 0)] * (D + 1)
-            widths[ax] = (pos, n - 1 - pos)
-            term = h2i * jnp.pad(jnp.expand_dims(face, ax), widths)
-            add = term if add is None else add + term
+    (``StarPatchOp::addInterfaceToRHS``, ``StarPatchOp.h:185-203``)."""
+    add = _face_pad_sum(gf, h2inv, D, n, fc.dtype)
     return fc - 2.0 * add if add is not None else fc
 
 
@@ -705,6 +718,11 @@ class Level:
         if self.dtype == jnp.float64 and mode != "exact" and (
             mode == "ir" or jax.default_backend() == "tpu"
         ):
+            # the refined-f32 solve is ~1e-13-accurate but not EXACTLY
+            # self-adjoint (asymmetry ~1e-13) — full-f64 CG interaction
+            # documented in SolveOptions; PoissonSolver warns when CG is
+            # actually selected.  PPS_F64_SOLVER=exact restores the
+            # bit-exact per-axis path.
             self._st32 = _build_solver_tables(
                 self.pl, jnp.float32, np.arange(self.P, dtype=np.int64),
                 prec=jax.lax.Precision.HIGHEST,

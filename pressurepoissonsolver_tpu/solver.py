@@ -17,6 +17,8 @@ before solving and compare solutions modulo a constant
 
 from __future__ import annotations
 
+import os
+import warnings
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -50,7 +52,11 @@ class SolveOptions:
     # spectral solves make M slightly non-self-adjoint and the CG
     # recurrence stalls (measured on chip: 60-iter stall vs BiCGStab's
     # 5).  BiCGStab is the robust default; CG remains right for the
-    # full-f64 path.
+    # full-f64 path.  NOTE: on TPU, PPS_F64_SOLVER=auto replaces f64
+    # patch solves with iteratively-refined f32 solves (~1e-13 backward
+    # error but ~1e-13 asymmetry) — a full-f64 CG run that must squeeze
+    # the last digits near its noise floor should set
+    # PPS_F64_SOLVER=exact to keep the V-cycle exactly self-adjoint.
     inner_krylov: str = "bicgstab"  # "bicgstab" | "cg" | "richardson"
     preconditioner: str = "gmg"  # "gmg" | "schwarz" | "none"
     patch_solver: str = "dft"  # "dft" (spectral) | "bcgs" (iterative)
@@ -96,6 +102,22 @@ class PoissonSolver:
                 self.opts.krylov = "bicgstab"
             if self.opts.inner_krylov == "cg":
                 self.opts.inner_krylov = "bicgstab"
+        if (
+            "cg" in (self.opts.krylov, self.opts.inner_krylov)
+            and self.opts.dtype == jnp.float64
+            and os.environ.get("PPS_F64_SOLVER", "auto") != "exact"
+            and jax.default_backend() == "tpu"
+        ):
+            # ADVICE r4: the refined-f32 f64 patch solve (PPS_F64_SOLVER=
+            # auto on TPU) leaves the V-cycle ~1e-13 non-self-adjoint,
+            # which full-f64 CG can turn into a noise-floor stall.
+            warnings.warn(
+                "full-f64 CG with PPS_F64_SOLVER=auto: TPU f64 patch "
+                "solves are iteratively-refined f32 (asymmetry ~1e-13); "
+                "if CG stalls near its noise floor set PPS_F64_SOLVER="
+                "exact.",
+                stacklevel=2,
+            )
         self.fine_level = Level(
             hierarchy.finest,
             dtype=self.opts.dtype,
