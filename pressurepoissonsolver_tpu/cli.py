@@ -120,8 +120,10 @@ def build_parser(D: int) -> argparse.ArgumentParser:
     p.add_argument("--loop", type=int, default=1, help="repeat the solve N times")
     p.add_argument("--monitor", action="store_true",
                    help="print the per-iteration relative residual norms "
-                   "(BiCGStab solves only; runs the fixed-trip monitored "
-                   "loop, so expect max_iterations iterations of work)")
+                   "(bicgstab/cg/gmres: per Krylov iteration; ir: per "
+                   "outer refinement round.  bicgstab/cg run the "
+                   "fixed-trip monitored loop, so expect max_iterations "
+                   "iterations of work)")
     return p
 
 
@@ -248,10 +250,21 @@ def main(D: int, argv=None) -> int:
         parser.error("--solver ir applies to the composite solve, not --schur")
     if args.prec == "Schwarz" and args.schur:
         parser.error("--prec Schwarz applies to the composite solve, not --schur")
-    if args.monitor and args.solver != "bicgstab":
-        parser.error("--monitor is implemented for --solver bicgstab")
     if args.monitor and args.matrix_type == "crs":
         parser.error("--monitor applies to the matrix-free paths")
+    # assembled-matrix combos the dispatch below cannot honor are rejected
+    # up front, as in the reference (apps/3d/steady.cpp:389-392)
+    if args.matrix_type == "crs" and args.solver == "ir":
+        parser.error(
+            "--matrix-type crs is not implemented for --solver ir "
+            "(the IR outer loop is matrix-free); drop one of the two"
+        )
+    if args.matrix_type == "crs" and args.schur and args.shards:
+        parser.error(
+            "--matrix-type crs with --schur is single-device only (the "
+            "assembled interface system uses the unsharded gamma layout); "
+            "drop --shards or use the matrix-free Schur path"
+        )
 
     import jax.numpy as jnp
 
@@ -394,6 +407,11 @@ def main(D: int, argv=None) -> int:
                 f, tol=args.tolerance, inner_tol=args.inner_tol
             )
             timer.stop("Linear Solve")
+            if args.monitor:
+                # per-outer-round relative residuals (inner iterations are
+                # aggregated in the count below)
+                for k, r in enumerate(info["outer_history"]):
+                    print(f"  outer {k:3d}  rel residual {float(r):.6e}")
             iter_line = (
                 f"Iterations: {info['outer_iterations']} outer / "
                 f"{info['inner_iterations']} inner"

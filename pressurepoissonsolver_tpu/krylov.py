@@ -98,6 +98,74 @@ def residual_history(
     )
 
 
+def cg_history(
+    A: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    M: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol: float = 1e-12,
+    max_iter: int = 100,
+    weight: Optional[jnp.ndarray] = None,
+) -> Tuple[KrylovResult, jnp.ndarray]:
+    """Preconditioned CG with a per-iteration residual-norm history (the
+    ``--monitor`` observability hook; see ``residual_history``).  Runs
+    exactly ``max_iter`` iterations in a ``fori_loop`` with converged
+    state frozen; history entries are the *weighted* residual norms when
+    ``weight`` is given (matching ``cg``'s convergence test)."""
+    x = jnp.zeros_like(b)
+    r = b - A(x)
+    if weight is None:
+        wdot = _dot
+    else:
+        w = weight.astype(b.dtype)
+
+        def wdot(a, c):
+            return jnp.vdot(a * w, c)
+
+    r0 = jnp.sqrt(wdot(r, r).real)
+    z = r if M is None else M(r)
+    p = z
+    rz = wdot(r, z)
+    hist0 = jnp.zeros(max_iter + 1, dtype=r0.dtype).at[0].set(r0)
+
+    def body(k, state):
+        x, r, p, rz, hist, done = state
+        ap = A(p)
+        denom = wdot(p, ap)
+        alpha = jnp.where(denom != 0, rz / jnp.where(denom != 0, denom, 1.0), 0.0)
+        x_new = x + alpha * p
+        r_new = r - alpha * ap
+        z = r_new if M is None else M(r_new)
+        rz_new = wdot(r_new, z)
+        safe_rz = jnp.where(rz != 0, rz, 1.0)
+        p_new = z + jnp.where(rz != 0, rz_new / safe_rz, 0.0) * p
+        active = jnp.logical_not(done)
+        mk = active.astype(x.dtype)
+        x = x + mk * (x_new - x)
+        r = r + mk * (r_new - r)
+        p = p + mk * (p_new - p)
+        rz = jnp.where(active, rz_new, rz)
+        rn = jnp.sqrt(wdot(r, r).real)
+        hist = hist.at[k + 1].set(rn)
+        done = jnp.logical_or(done, rn / r0 <= tol)
+        return (x, r, p, rz, hist, done)
+
+    x, r, p, rz, hist, done = jax.lax.fori_loop(
+        0, max_iter, body, (x, r, p, rz, hist0, jnp.bool_(False))
+    )
+    rel = hist / jnp.where(r0 > 0, r0, 1.0)
+    iters = jnp.argmax(rel <= tol)
+    iters = jnp.where(jnp.any(rel <= tol), iters, max_iter)
+    return (
+        KrylovResult(
+            x=x,
+            iterations=iters.astype(jnp.int32),
+            residual_norm=jnp.sqrt(wdot(r, r).real),
+            r0_norm=r0,
+        ),
+        hist,
+    )
+
+
 def bicgstab(
     A: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
@@ -192,7 +260,8 @@ def gmres(
     tol: float = 1e-12,
     restart: int = 30,
     max_iter: int = 1000,
-) -> KrylovResult:
+    history: bool = False,
+):
     """Right-preconditioned restarted GMRES(restart), fully jittable.
 
     The matrix-free Krylov method the reference reaches through PETSc KSP
@@ -202,6 +271,11 @@ def gmres(
     ``fori_loop`` with masked modified-Gram-Schmidt (converged state is
     frozen), Givens rotations triangularize H on the fly, and restart
     cycles run under ``lax.while_loop`` — one XLA computation per solve.
+
+    With ``history=True`` returns ``(result, hist)`` where ``hist[k]`` is
+    the residual norm after iteration ``k``: the running Givens estimate
+    within a cycle, overwritten by the true residual at each cycle
+    boundary (the ``--monitor`` observability hook).
     """
     shape = b.shape
     dtype = b.dtype
@@ -219,12 +293,16 @@ def gmres(
     r0_norm = _norm(r)
     # tolerance on ||r||/||r0|| (matches bicgstab/cg above)
     target = r0_norm * tol
+    # history slots: a final cycle may overshoot max_iter by restart-1
+    hist0 = jnp.zeros(
+        (max_iter + restart + 1) if history else 1, dtype=dtype
+    ).at[0].set(r0_norm)
 
     def cycle(state):
         # r is carried from the previous cycle's true-residual check (one
         # operator apply per cycle total — recomputing it here would pay a
         # second apply XLA cannot CSE across while_loop iterations)
-        x, r, rnorm, it = state
+        x, r, rnorm, it, hist = state
         beta = rnorm
         safe_beta = jnp.where(beta != 0, beta, 1.0)
         V0 = jnp.zeros((restart + 1, N), dtype=dtype).at[0].set(r / safe_beta)
@@ -235,7 +313,7 @@ def gmres(
         done0 = beta <= target
 
         def arnoldi(j, st):
-            V, H, cs, sn, g, done, kdone = st
+            V, H, cs, sn, g, done, kdone, hist = st
             w = Af(Mf(V[j]))
             # masked modified Gram-Schmidt (one CGS pass + re-orth pass,
             # masked to rows i <= j; adequate with the re-orthogonalization)
@@ -292,10 +370,15 @@ def gmres(
                 done,
                 jnp.logical_or(degenerate, jnp.abs(g_j1) <= target),
             )
-            return (V, H, cs, sn, g, done, kdone)
+            if history:
+                hist = jnp.where(
+                    take, hist.at[it + j + 1].set(jnp.abs(g_j1)), hist
+                )
+            return (V, H, cs, sn, g, done, kdone, hist)
 
-        V, H, cs, sn, g, done, kdone = jax.lax.fori_loop(
-            0, restart, arnoldi, (V0, H, cs, sn, g, done0, jnp.int32(0))
+        V, H, cs, sn, g, done, kdone, hist = jax.lax.fori_loop(
+            0, restart, arnoldi,
+            (V0, H, cs, sn, g, done0, jnp.int32(0), hist),
         )
         # solve the (masked) triangular system R y = g: inactive columns
         # get an identity diagonal and zero rhs so their y is 0
@@ -322,19 +405,23 @@ def gmres(
         x = jnp.where(ok, x_new, x)
         r = jnp.where(ok, r_new, r)
         rnorm = jnp.where(ok, rnorm_new, rnorm)
-        return (x, r, rnorm, it + jnp.maximum(kdone, 1))
+        if history:
+            # cycle boundary: replace the estimate with the true residual
+            hist = jnp.where(ok, hist.at[it + kdone].set(rnorm_new), hist)
+        return (x, r, rnorm, it + jnp.maximum(kdone, 1), hist)
 
     def cond(state):
-        x, r, rnorm, it = state
+        x, r, rnorm, it, hist = state
         return jnp.logical_and(rnorm > target, it < max_iter)
 
-    x, r, rnorm, it = jax.lax.while_loop(
-        cond, cycle, (x, r, r0_norm, jnp.int32(0))
+    x, r, rnorm, it, hist = jax.lax.while_loop(
+        cond, cycle, (x, r, r0_norm, jnp.int32(0), hist0)
     )
     x = x.reshape(shape)
-    return KrylovResult(
+    res = KrylovResult(
         x=x, iterations=it, residual_norm=rnorm, r0_norm=r0_norm
     )
+    return (res, hist) if history else res
 
 
 def cg(

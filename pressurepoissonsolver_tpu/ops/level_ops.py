@@ -92,7 +92,18 @@ class _SolverTables:
     perm: jnp.ndarray
     inv_perm: jnp.ndarray
     identity_perm: bool
-    denom_sorted: jnp.ndarray  # [Ps, *ns]
+    # eigen-denominators in factored per-axis form: ``lam_tab [K, n]``
+    # holds the distinct axis eigenvalue rows (K = #(BC delta, h) pairs —
+    # dozens, not DOF) and ``lam_idx [Ps, D]`` maps each sorted patch
+    # slot's axes into it.  The dense ``[Ps, *ns]`` denominator is
+    # materialized on the fly by ``_denom_of`` as a broadcast-sum that XLA
+    # fuses into the eigen-divide.  The previous dense form was O(DOF)
+    # *per level* and was embedded as an HLO literal by JAX's lowering —
+    # at 42M DOF the serialized program exceeded the remote-compile
+    # relay's body limit (HTTP 413), and every smooth paid a full-field
+    # HBM read of pure recomputable data.
+    lam_tab: jnp.ndarray  # [K, n]
+    lam_idx: jnp.ndarray  # [Ps, D] int32 into lam_tab
     groups: List[_SolveGroup]
     tmats: dict  # transform kind -> [n, n] matrix
     # f32 fast path: per group, the forward/inverse transforms in Kronecker
@@ -128,19 +139,22 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray,
     inv_perm = np.empty(Ps, dtype=np.int64)
     inv_perm[perm] = np.arange(Ps)
 
-    denom = np.zeros((Ps,) + pl.ns_shape)
+    lam_keys: dict = {}
+    lam_rows: List[np.ndarray] = []
+    lam_idx = np.zeros((Ps, D), dtype=np.int32)
     for i, si in enumerate(order):
         p = slots[si]
-        acc = np.zeros(pl.ns_shape)
         for a in range(D):
             delta = tr.axis_transforms(
                 bool(pl.neumann[p, 2 * a]), bool(pl.neumann[p, 2 * a + 1])
             )[2]
-            lam = tr.axis_eigenvalues(n, float(pl.spacings[p, a]), delta)
-            shape = [1] * D
-            shape[D - 1 - a] = n
-            acc = acc + lam.reshape(shape)
-        denom[i] = acc
+            hkey = (delta, float(pl.spacings[p, a]))
+            k = lam_keys.get(hkey)
+            if k is None:
+                k = lam_keys[hkey] = len(lam_rows)
+                lam_rows.append(tr.axis_eigenvalues(n, hkey[1], delta))
+            lam_idx[i, a] = k
+    lam_tab = np.stack(lam_rows) if lam_rows else np.zeros((1, n))
 
     groups: List[_SolveGroup] = []
     start = 0
@@ -187,7 +201,8 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray,
         perm=jnp.asarray(perm),
         inv_perm=jnp.asarray(inv_perm),
         identity_perm=bool(np.all(perm == np.arange(Ps))),
-        denom_sorted=jnp.asarray(denom).astype(dtype),
+        lam_tab=jnp.asarray(lam_tab).astype(dtype),
+        lam_idx=jnp.asarray(lam_idx),
         groups=groups,
         tmats=tmats,
         kron=kron,
@@ -399,18 +414,34 @@ def _build_contrib_pipeline(
     )
 
 
+def _denom_of(st: _SolverTables, D: int, n: int) -> jnp.ndarray:
+    """Materialize the ``[Ps, *ns]`` eigen-denominator from the factored
+    per-axis rows (fused by XLA into the consuming divide; see the
+    ``lam_tab`` field note)."""
+    Ps = st.lam_idx.shape[0]
+    rows = st.lam_tab[st.lam_idx.reshape(-1)].reshape(Ps, D, n)
+    if D == 2:
+        return rows[:, 1][:, :, None] + rows[:, 0][:, None, :]
+    return (
+        rows[:, 2][:, :, None, None]
+        + rows[:, 1][:, None, :, None]
+        + rows[:, 0][:, None, None, :]
+    )
+
+
 def _spectral_apply(st: _SolverTables, fc: jnp.ndarray, D: int, n: int) -> jnp.ndarray:
     """Batched spectral patch solves with the tables ``st`` (the jittable
     core of ``Level._spectral_solve``)."""
     P = fc.shape[0]
     cells = int(np.prod(fc.shape[1:]))
+    denom_sorted = _denom_of(st, D, n)
     if st.kron is not None:
         # flat Kronecker path (f32): the BC-sort permutation, the
         # transforms, and the eigen-divide all act on [Ps, n^2(*n)] rows
         fflat = fc.reshape(P, cells)
         fs = fflat if st.identity_perm else fflat[st.perm]
-        dnf = st.denom_sorted.reshape(P, -1) if D == 2 else (
-            st.denom_sorted.reshape(P, n, cells // n)
+        dnf = denom_sorted.reshape(P, -1) if D == 2 else (
+            denom_sorted.reshape(P, n, cells // n)
         )
         parts = []
         for g, kr in zip(st.groups, st.kron):
@@ -442,7 +473,7 @@ def _spectral_apply(st: _SolverTables, fc: jnp.ndarray, D: int, n: int) -> jnp.n
     scale = (2.0 / n) ** D
     for g in st.groups:
         x = jax.lax.slice_in_dim(fs, g.start, g.stop, axis=0)
-        dn = jax.lax.slice_in_dim(st.denom_sorted, g.start, g.stop, axis=0)
+        dn = jax.lax.slice_in_dim(denom_sorted, g.start, g.stop, axis=0)
         for a in range(D):
             x = Level._apply_transform(st.tmats[g.fwd_kinds[a]], x, _arr_axis(D, a), st.prec)
         x = x / dn
@@ -765,7 +796,9 @@ class Level:
 
     @property
     def _denom_sorted(self):
-        return self._st.denom_sorted
+        # dense [Ps, *ns] view for consumers that re-block it per shard at
+        # SETUP time (halo engine); the jitted ops use the factored form
+        return _denom_of(self._st, self.D, self.n)
 
     @property
     def _solver_inv_perm(self):

@@ -268,13 +268,17 @@ class PoissonSolver:
 
         Returns ``(u, KrylovResult, history)`` where ``history[k]`` is the
         *relative* residual norm after iteration ``k`` (entries past
-        convergence repeat the final value).  Only run when asked: the
-        fixed-trip monitored loop always executes ``max_iter`` iterations.
+        convergence repeat the final value).  Honors ``opts.krylov``
+        (bicgstab / cg / gmres; for GMRES the in-cycle entries are the
+        running Givens estimates, corrected to the true residual at each
+        restart boundary).  Only run when asked: the fixed-trip monitored
+        loops always execute ``max_iter`` iterations (bicgstab/cg).
         """
-        from .krylov import residual_history
+        from .krylov import cg_history, gmres, residual_history
 
+        method = self.opts.krylov
         tol = self.opts.tol if tol is None else tol
-        key = (tol, max_iter, schur, schur_preconditioner)
+        key = (tol, max_iter, schur, schur_preconditioner, method)
         if getattr(self, "_monitor_jit_key", None) == key:
             run = self._monitor_run
             f = self._device_put(jnp.asarray(f, dtype=self.opts.dtype))
@@ -296,6 +300,15 @@ class PoissonSolver:
             elif schur_preconditioner == "gmg":
                 M = self.schur_gmg_preconditioner()
 
+            def hist_solve(A, rhs, M):
+                if method == "gmres":
+                    return gmres(A, rhs, M=M, tol=tol, max_iter=max_iter,
+                                 history=True)
+                if method == "cg":
+                    return cg_history(A, rhs, M=M, tol=tol, max_iter=max_iter)
+                return residual_history(A, rhs, M=M, tol=tol,
+                                        max_iter=max_iter)
+
             @jax.jit
             def run(b):
                 def A_schur(g):
@@ -303,19 +316,28 @@ class PoissonSolver:
 
                 gamma0 = lvl.gamma_zeros(b.dtype)
                 rhs = lvl.interpolate(lvl.patch_solve(b, gamma0))
-                res, hist = residual_history(
-                    A_schur, rhs, M=M, tol=tol, max_iter=max_iter
-                )
+                res, hist = hist_solve(A_schur, rhs, M)
                 u = lvl.patch_solve(b, res.x)
                 return u, res, hist
 
         else:
+            w = (
+                self._volume_weight(self.opts.dtype)
+                if method == "cg" else None
+            )
 
             @jax.jit
             def run(b):
-                res, hist = residual_history(
-                    lvl.apply, b, M=M, tol=tol, max_iter=max_iter
-                )
+                if method == "gmres":
+                    res, hist = gmres(lvl.apply, b, M=M, tol=tol,
+                                      max_iter=max_iter, history=True)
+                elif method == "cg":
+                    res, hist = cg_history(lvl.apply, b, M=M, tol=tol,
+                                           max_iter=max_iter, weight=w)
+                else:
+                    res, hist = residual_history(
+                        lvl.apply, b, M=M, tol=tol, max_iter=max_iter
+                    )
                 return res.x, res, hist
 
         self._monitor_run = run
@@ -394,7 +416,10 @@ class PoissonSolver:
                 fnorm = jnp.linalg.norm(f.ravel())
                 fnorm = jnp.where(fnorm > 0, fnorm, 1.0)
                 u0 = jnp.zeros_like(f)
-                # state: u, r, best_u, best_rel, rel, k, inner_total, stop
+                # per-outer-round relative-residual history (--monitor ir)
+                hist0 = jnp.ones(max_outer + 1, dtype=f.dtype)
+                # state: u, r, best_u, best_rel, rel, k, inner_total,
+                #        stop, hist
                 state = (
                     u0,
                     f,
@@ -404,13 +429,14 @@ class PoissonSolver:
                     jnp.int32(0),
                     jnp.int32(0),
                     jnp.bool_(False),
+                    hist0,
                 )
 
                 def cond(st):
                     return jnp.logical_not(st[7])
 
                 def body(st):
-                    u, r, best_u, best_rel, rel, k, inner_total, _ = st
+                    u, r, best_u, best_rel, rel, k, inner_total, _, hist = st
                     e_res = inner_solve(r.astype(pdtype), inner_tol_)
                     e = jnp.where(jnp.isfinite(e_res.x), e_res.x, 0.0)
                     u_new = u + e.astype(f.dtype)
@@ -434,6 +460,7 @@ class PoissonSolver:
                     # on breakdown, fall back to the best iterate so far
                     u_out = jnp.where(breakdown, best_u, u_new)
                     rel_out = jnp.where(breakdown, best_rel, rel_new)
+                    hist = hist.at[k].set(rel_out)
                     return (
                         u_out,
                         r_new,
@@ -443,18 +470,19 @@ class PoissonSolver:
                         k,
                         inner_total + e_res.iterations,
                         stop,
+                        hist,
                     )
 
-                u, r, best_u, best_rel, rel, k, inner_total, _ = jax.lax.while_loop(
-                    cond, body, state
+                (u, r, best_u, best_rel, rel, k, inner_total, _, hist) = (
+                    jax.lax.while_loop(cond, body, state)
                 )
-                return u, rel, k, inner_total
+                return u, rel, k, inner_total, hist
 
             self._inner_jit = run
             self._inner_jit_key = key
 
         f = self._device_put(jnp.asarray(f, dtype=self.opts.dtype))
-        u, rel, k, inner_total = self._inner_jit(
+        u, rel, k, inner_total, hist = self._inner_jit(
             f, jnp.asarray(tol, f.dtype), jnp.asarray(inner_tol, pdtype)
         )
         if not sync:
@@ -465,11 +493,13 @@ class PoissonSolver:
                 "outer_iterations": k,
                 "inner_iterations": inner_total,
                 "residual": rel,
+                "outer_history": hist,
             }
         info = {
             "outer_iterations": int(k),
             "inner_iterations": int(inner_total),
             "residual": float(rel),
+            "outer_history": np.asarray(hist)[: int(k) + 1],
         }
         return u, info
 
@@ -577,9 +607,27 @@ class PoissonSolver:
     # -- diagnostics --------------------------------------------------------
 
     def report(self, u, f, exact, neumann: bool = False) -> dict:
-        """Error/residual/conservation block (``apps/2d/steady.cpp:570-606``)."""
+        """Error/residual/conservation block (``apps/2d/steady.cpp:570-606``).
+
+        Sharded levels carry padding slots (isolated dummy patches,
+        ``parallel/sharding.pad_level``); ``init_problem`` fills those
+        slots with problem data at the dummy coordinates, so every metric
+        here masks to the real patches — without the mask the error and
+        integral metrics are polluted by the pads (found via the sharded
+        all-Neumann Schur tests, round 5).
+        """
         lvl = self.fine_level
+        real = lvl.pl.real_patches
+        if real < lvl.P:
+            mask = (jnp.arange(lvl.P) < real).reshape(
+                (lvl.P,) + (1,) * lvl.D
+            )
+            u = jnp.where(mask, u, 0.0)
+            f = jnp.where(mask, f, 0.0)
+            exact = jnp.where(mask, exact, 0.0)
         au = self.apply(u)
+        if real < lvl.P:
+            au = jnp.where(mask, au, 0.0)
         resid = f - au
         out = {}
         out["residual"] = float(jnp.linalg.norm(resid.ravel()) / jnp.linalg.norm(f.ravel()))
@@ -590,6 +638,8 @@ class PoissonSolver:
             uavg = lvl.integrate(u) / lvl.volume
             eavg = lvl.integrate(exact) / lvl.volume
             err = err - (eavg - uavg)
+            if real < lvl.P:
+                err = jnp.where(mask, err, 0.0)
         out["error"] = float(
             jnp.linalg.norm(err.ravel()) / jnp.linalg.norm(exact.ravel())
         )

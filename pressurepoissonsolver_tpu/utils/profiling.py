@@ -49,7 +49,7 @@ def annotate(name: str):
 
 
 def time_op(fn: Callable, *args, reps: int = 200, in_graph: bool = False,
-            trials: int = 3):
+            trials: int = 3, hbm_rotate: int = 0):
     """Seconds per call of ``fn(*args)`` after a compile/warm-up call.
 
     ``in_graph=True`` chains ``reps`` calls inside one jitted loop with a
@@ -59,35 +59,69 @@ def time_op(fn: Callable, *args, reps: int = 200, in_graph: bool = False,
     per execution and otherwise swamps every sub-millisecond op (this is
     exactly what made OP_REPORT_r3's per-op numbers a flat ~1.2 ms floor
     at reps=20).  The steady-state number reflects loop-resident operands
-    (VMEM-cached where they fit); see ``op_report`` for the HBM-forced
-    variant.  Without ``in_graph`` each rep is a separate dispatch.
+    (VMEM-cached where they fit).  Without ``in_graph`` each rep is a
+    separate dispatch.
+
+    ``hbm_rotate=B`` (with ``in_graph``) is the HBM-forced variant: the
+    loop carries ``B`` distinct live copies of the primary operand and
+    each iteration consumes the oldest, so with ``B * field_bytes``
+    larger than VMEM the op's input streams from HBM every iteration —
+    the pessimistic counterpart of the VMEM-optimistic steady state.
+    Pick ``B`` so the rotation set is several times VMEM (16 MiB/core on
+    v5e for arrays; ``op_report`` sizes it automatically).
     """
     import jax
 
     if in_graph:
         import jax.numpy as jnp
 
-        @jax.jit
-        def loop(x, n):
-            def body(i, v):
-                out = fn(v, *args[1:])
-                if out.shape == v.shape:
-                    return out
-                # shape-changing op: keep a data dependency so XLA cannot
-                # dead-code-eliminate it (costs one extra reduction pass)
-                return v + jnp.mean(out)
+        B = max(int(hbm_rotate), 0)
+        if B > 1:
+            # distinct materialized copies (identical values would still
+            # be distinct buffers, but perturb to be safe against any
+            # buffer-dedup cleverness)
+            bufs = tuple(
+                jax.block_until_ready(args[0] * (1.0 + 1e-7 * i))
+                for i in range(B)
+            )
 
-            return jax.lax.fori_loop(0, n, body, x)
+            @jax.jit
+            def loop(bufs, n):
+                def body(i, bufs):
+                    out = fn(bufs[0], *args[1:])
+                    if out.shape != bufs[0].shape:
+                        out = bufs[0] + jnp.mean(out)
+                    return bufs[1:] + (out,)
 
-        jax.block_until_ready(loop(args[0], reps))  # compile + warm
-        jax.block_until_ready(loop(args[0], 0))
+                return jax.lax.fori_loop(0, n, body, bufs)
+
+            arg0 = bufs
+        else:
+
+            @jax.jit
+            def loop(x, n):
+                def body(i, v):
+                    out = fn(v, *args[1:])
+                    if out.shape == v.shape:
+                        return out
+                    # shape-changing op: keep a data dependency so XLA
+                    # cannot dead-code-eliminate it (costs one extra
+                    # reduction pass)
+                    return v + jnp.mean(out)
+
+                return jax.lax.fori_loop(0, n, body, x)
+
+            arg0 = args[0]
+
+        jax.block_until_ready(loop(arg0, reps))  # compile + warm
+        jax.block_until_ready(loop(arg0, 0))
         best_base = best_full = float("inf")
         for _ in range(trials):
             t0 = time.time()
-            jax.block_until_ready(loop(args[0], 0))
+            jax.block_until_ready(loop(arg0, 0))
             best_base = min(best_base, time.time() - t0)
             t0 = time.time()
-            jax.block_until_ready(loop(args[0], reps))
+            jax.block_until_ready(loop(arg0, reps))
             best_full = min(best_full, time.time() - t0)
         # min each leg separately: min over per-trial deltas is biased by
         # launch-cost jitter (one slow base run makes the delta negative)
@@ -127,7 +161,8 @@ def _device_bw() -> float:
     return HBM_BYTES_PER_S["cpu"]
 
 
-def op_report(level, reps: int = 20) -> Dict[str, dict]:
+def op_report(level, reps: int = 20, hbm_force: bool = False,
+              vmem_bytes: float = 64e6) -> Dict[str, dict]:
     """Timing + roofline table of a Level's core ops.
 
     Roofline bytes are the *algorithmically required* traffic (read the
@@ -135,6 +170,12 @@ def op_report(level, reps: int = 20) -> Dict[str, dict]:
     materializations count against the achieved fraction, which is the
     point: it measures how far the compiled pipeline is from
     speed-of-light for the op's useful data.
+
+    ``hbm_force=True`` adds a ``<op>_hbm`` row per op timed with a
+    rotation set of live input buffers several times larger than VMEM
+    (``time_op(hbm_rotate=...)``), so the primary operand streams from
+    HBM each iteration — corroborating the VMEM-optimistic steady-state
+    numbers.
     """
     import jax.numpy as jnp
     import numpy as np
@@ -156,7 +197,8 @@ def op_report(level, reps: int = 20) -> Dict[str, dict]:
     out: Dict[str, dict] = {}
 
     def add(name, fn, args, bytes_needed, nnz_count=None):
-        t = time_op(fn, *args, reps=reps, in_graph=(args[0].shape == u.shape))
+        in_graph = args[0].shape == u.shape
+        t = time_op(fn, *args, reps=reps, in_graph=in_graph)
         rec = {
             "ms": round(t * 1e3, 6),
             "roofline_pct": round(100 * bytes_needed / bw / t, 2),
@@ -164,6 +206,14 @@ def op_report(level, reps: int = 20) -> Dict[str, dict]:
         if nnz_count:
             rec["gnnz_per_s"] = round(nnz_count / t / 1e9, 2)
         out[name] = rec
+        if hbm_force and in_graph:
+            B = max(3, int(4 * vmem_bytes / max(field_bytes, 1)) + 1)
+            th = time_op(fn, *args, reps=reps, in_graph=True, hbm_rotate=B)
+            out[name + "_hbm"] = {
+                "ms": round(th * 1e3, 6),
+                "roofline_pct": round(100 * bytes_needed / bw / th, 2),
+                "rotation_buffers": B,
+            }
 
     add("interpolate", level.interpolate, (u,), 2 * field_bytes)
     add("apply", level.apply, (u,), 2 * field_bytes, nnz)

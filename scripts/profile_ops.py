@@ -53,6 +53,8 @@ def level_breakdown(lvl: Level, reps: int = 500, light: bool = False) -> dict:
 
     out = {}
 
+    hbm = os.environ.get("PPS_PROFILE_HBM_FORCE")
+
     def add(name, fn, args, bytes_needed, nnz_count=None):
         t = profiling.time_op(fn, *args, reps=reps, in_graph=True)
         rec = {
@@ -62,6 +64,18 @@ def level_breakdown(lvl: Level, reps: int = 500, light: bool = False) -> dict:
         if nnz_count:
             rec["gnnz_per_s"] = round(nnz_count / t / 1e9, 2)
         out[name] = rec
+        if hbm and args[0].shape == u.shape:
+            # HBM-forced corroboration: rotate > 4x-VMEM worth of live
+            # input buffers so the operand streams from HBM (the
+            # VMEM-optimistic caveat of the steady-state numbers)
+            B = max(3, int(256e6 / max(field, 1)) + 1)
+            th = profiling.time_op(fn, *args, reps=min(reps, 100),
+                                   in_graph=True, hbm_rotate=B)
+            out[name + "_hbm"] = {
+                "ms": round(th * 1e3, 6),
+                "roofline_pct": round(100 * bytes_needed / bw / th, 2),
+                "rotation_buffers": B,
+            }
 
     # sub-ops of the composite apply
     add("extract_faces", lambda x: extract_faces(x, D, n, lvl.face_depth),

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--comm", type=str, nargs="+", default=["pjit", "halo"])
     ap.add_argument("--solve", action="store_true",
                     help="also time a complete solve to 1e-8")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: DOF grows with the device count "
+                    "(each 4x device step adds one uniform refinement, so "
+                    "DOF/device is constant); reports weak efficiency vs "
+                    "the first configuration and per-device comm rows")
     args = ap.parse_args()
 
     import jax
@@ -49,10 +54,37 @@ def main():
     for _ in range(args.divide):
         tree.refine_leaves()
 
+    # weak mode: devices must step by powers of 4 from the first entry
+    # (each step = one uniform refinement = 4x DOF, keeping DOF/device
+    # constant — the reference protocol: 2.1M DOF on 1 core -> 136M on 64,
+    # misc/results/..._Weak_Scaling.ipynb cells 3/7)
+    weak_trees = {}
+    if args.weak:
+        t = tree
+        weak_trees[args.devices[0]] = t
+        for ndev in args.devices[1:]:
+            ratio = ndev // args.devices[0]
+            extra = 0
+            while 4 ** extra < ratio:
+                extra += 1
+            if 4 ** extra != ratio:
+                raise SystemExit(
+                    f"--weak needs device ratios that are powers of 4 "
+                    f"(got {ndev}/{args.devices[0]})"
+                )
+            import copy
+
+            t2 = copy.deepcopy(tree)
+            for _ in range(extra):
+                t2.refine_leaves()
+            weak_trees[ndev] = t2
+    base_time = {}
+
     for ndev in args.devices:
         for comm in (args.comm if ndev > 1 else ["pjit"]):
             mesh = make_mesh(ndev) if ndev > 1 else None
-            h = DomainHierarchy(tree, n=args.n, num_shards=ndev)
+            use_tree = weak_trees[ndev] if args.weak else tree
+            h = DomainHierarchy(use_tree, n=args.n, num_shards=ndev)
             opts = SolveOptions(
                 dtype=dtype, precond_dtype=dtype, comm=comm, tol=1e-8
             )
@@ -91,6 +123,7 @@ def main():
                 "devices": ndev,
                 "comm": comm if ndev > 1 else "single",
                 "dof": dof,
+                "dof_per_device": dof // ndev,
                 "apply_ms": round(t * 1e3, 4),
                 "nnz_per_s": round(nnz / t, 1),
                 "dtype": args.dtype,
@@ -98,6 +131,18 @@ def main():
             }
             if comm == "halo" and ndev > 1:
                 rec["cut_face_rows"] = solver._op.comm_rows
+                rec["cut_face_rows_per_device"] = round(
+                    solver._op.comm_rows / ndev, 1
+                )
+            if args.weak:
+                rec["mode"] = "weak"
+                # weak efficiency: constant work per device => the ideal
+                # apply time is flat; efficiency = t(first) / t(this)
+                if "apply" not in base_time:
+                    base_time["apply"] = t
+                rec["weak_efficiency_apply"] = round(
+                    base_time["apply"] / t, 4
+                )
             if args.solve:
                 f_np, _ = init_problem(h.finest, get_problem("trig", 2))
                 f = jnp.asarray(f_np, dtype=dtype)
@@ -108,6 +153,12 @@ def main():
                 res.x.block_until_ready()
                 rec["solve_s"] = round(time.time() - t0, 4)
                 rec["iterations"] = int(res.iterations)
+                if args.weak:
+                    if "solve" not in base_time:
+                        base_time["solve"] = rec["solve_s"]
+                    rec["weak_efficiency_solve"] = round(
+                        base_time["solve"] / rec["solve_s"], 4
+                    )
             print(json.dumps(rec), flush=True)
 
 

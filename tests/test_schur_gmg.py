@@ -114,3 +114,73 @@ def test_monitored_schur_gmg_history():
     )
     assert hist[-1] <= 1e-10
     assert int(res.iterations) <= 15
+
+
+# ---- Schur path under Neumann BCs (VERDICT r4 #4) -------------------------
+# The reference composes --schur with --neumann (apps/3d/steady.cpp:330-342
+# mean-shift + :336-441 Schur branch; all-Neumann patch solves pin the DC
+# mode, FftwPatchSolver.h:197).  The interface system (I - S) inherits the
+# constant nullspace on all-Neumann domains; with a zero-mean f it is
+# consistent and the Krylov iterate converges to a solution modulo the
+# constant, exactly like the composite path.
+
+
+def _neumann_schur(tree, prec, neumann=True, num_shards=1, mesh=None,
+                   tol=1e-10):
+    from pressurepoissonsolver_tpu.solver import shift_for_neumann
+
+    h = DomainHierarchy(tree, n=8, neumann=neumann, num_shards=num_shards)
+    s = PoissonSolver(h, SolveOptions(tol=tol), mesh=mesh)
+    f, exact = init_problem(h.finest, get_problem("trig", 2))
+    f = jnp.asarray(f)
+    if neumann is True:
+        f = shift_for_neumann(s.fine_level, f)
+    u, res = s.solve_schur(f, tol=tol, max_iter=300, preconditioner=prec)
+    rep = s.report(u, f, jnp.asarray(exact), neumann=(neumann is True))
+    return int(res.iterations), rep
+
+
+def test_schur_neumann_uniform_and_adaptive():
+    for tree in (uniform_tree(2, 3), refined_tree(2, 3, 1)):
+        it, rep = _neumann_schur(tree, None)
+        assert rep["residual"] < 1e-9, rep
+        assert rep["error"] < 5e-3, rep
+        it_g, rep_g = _neumann_schur(tree, "gmg")
+        assert rep_g["residual"] < 1e-9, rep_g
+        assert it_g <= it, (it_g, it)
+
+
+def test_schur_neumann_mixed_walls():
+    """Per-side Neumann (IsNeumannFunc parity) through the Schur path: no
+    nullspace when at least one wall is Dirichlet."""
+    it, rep = _neumann_schur(refined_tree(2, 3, 1), "gmg",
+                             neumann=["x_lo", "y_hi"])
+    assert rep["residual"] < 1e-9, rep
+    assert rep["error"] < 5e-3, rep
+
+
+def test_schur_neumann_sharded():
+    """All-Neumann Schur over the 8-device halo engine; also regression-
+    tests the padded-slot masking in ``report`` (the constant-nullspace
+    shift used to leak into padding slots and blow up the error metric)."""
+    from pressurepoissonsolver_tpu.parallel.sharding import make_mesh
+
+    it, rep = _neumann_schur(
+        refined_tree(2, 3, 1), "gmg", num_shards=8, mesh=make_mesh(8)
+    )
+    assert rep["residual"] < 1e-9, rep
+    assert rep["error"] < 5e-3, rep
+
+
+def test_cli_schur_neumann(tmp_path):
+    import json
+
+    from pressurepoissonsolver_tpu.cli import main
+
+    out = tmp_path / "sn.json"
+    rc = main(2, ["--uniform", "3", "-n", "8", "--schur", "--neumann",
+                  "--prec", "GMG", "-t", "1e-10", "--out-json", str(out)])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert rep["residual"] < 1e-9
+    assert rep["error"] < 5e-3
