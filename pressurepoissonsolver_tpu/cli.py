@@ -59,9 +59,10 @@ def build_parser(D: int) -> argparse.ArgumentParser:
                    help="refinement-boundary closure (quadratic = the 2D "
                    "higher-order StencilHelper2d closures)")
     p.add_argument("--matrix-type", dest="matrix_type", type=str, default="wrap",
-                   choices=["wrap", "crs"],
-                   help="operator form: matrix-free ('wrap') or assembled "
-                   "CRS SpMV ('crs'), as in the reference apps")
+                   choices=["wrap", "crs", "pbm"],
+                   help="operator form: matrix-free ('wrap'), assembled "
+                   "CRS SpMV ('crs'), or the pointer-block Schur operator "
+                   "('pbm', --schur only; reference Experimental/PBMatrix)")
     p.add_argument("--shards", type=int, default=0,
                    help="shard the solve over this many devices "
                    "(0 = single device)")
@@ -259,6 +260,17 @@ def main(D: int, argv=None) -> int:
             "--matrix-type crs is not implemented for --solver ir "
             "(the IR outer loop is matrix-free); drop one of the two"
         )
+    if args.matrix_type == "pbm" and not args.schur:
+        parser.error(
+            "--matrix-type pbm is the pointer-block form of the probed "
+            "Schur matrix (reference Experimental/PBMatrix); it requires "
+            "--schur"
+        )
+    if args.matrix_type == "pbm" and args.shards:
+        parser.error(
+            "--matrix-type pbm is single-device only (unsharded gamma "
+            "layout); drop --shards or use the matrix-free Schur path"
+        )
     if args.matrix_type == "crs" and args.schur and args.shards:
         parser.error(
             "--matrix-type crs with --schur is single-device only (the "
@@ -373,6 +385,12 @@ def main(D: int, argv=None) -> int:
             crs_A = bcoo_matvec(
                 assemble_composite(hierarchy.finest, scheme=args.iface_interp)
             )
+        timer.stop("Matrix Formation")
+    elif args.matrix_type == "pbm":
+        from .matrix import pbm_matvec
+
+        timer.start("Matrix Formation")
+        crs_S = pbm_matvec(solver.fine_level)
         timer.stop("Matrix Formation")
     timer.stop("Linear System Setup")
 

@@ -334,3 +334,155 @@ def bcoo_matvec(csr: sp.csr_matrix):
         return (mat @ x.ravel()).reshape(shape)
 
     return mv
+
+
+def pbm_matvec(level):
+    """Matrix-free "pointer-block" interface operator (the reference's
+    experimental ``PBMatrix``, ``Experimental/PBMatrix.{h,cpp}``): the
+    probed Schur matrix kept as deduplicated m×m coefficient blocks plus
+    (row, col, block-id) pointers instead of CRS.
+
+    TPU-native apply: entries are sorted by block id so each distinct
+    block is ONE ``[E_c, m] @ [m, m]`` MXU matmul over the gathered
+    column traces, and the row reduction is the same iface-major padded
+    gather-sum the interpolation pipeline uses (no scatter-adds).  Blocks
+    are deduplicated by (probe side, patch class, source side, case) —
+    the analog of the reference's rotation/flip canonicalization
+    (``SchurMatrixHelper.cpp:24-205``).
+
+    Returns a jittable ``gamma [NIf, m] -> (I - S) gamma``.
+    """
+    import jax.numpy as jnp
+
+    from .ops.level_ops import Level, extract_faces
+
+    D, n = level.D, level.n
+    t = level.tables
+    m = t.m
+    S2 = 2 * D
+    NIf = t.num_ifaces
+    P = level.P
+
+    # reuse assemble_schur's probing, but keep blocks deduplicated
+    # (identical probe responses per class) instead of expanding to CSR
+    import jax
+
+    from .domain import PatchLevel
+
+    pl = level.pl
+    uniq: dict = {}
+    class_of = np.zeros(P, dtype=np.int64)
+    reps: list = []
+    for p in range(P):
+        key = (
+            tuple(bool(x) for x in pl.neumann[p]),
+            tuple(float(x) for x in pl.spacings[p]),
+        )
+        if key not in uniq:
+            uniq[key] = len(reps)
+            reps.append(p)
+        class_of[p] = uniq[key]
+    U = len(reps)
+    reps_a = np.asarray(reps)
+    none_i8 = np.zeros((U, S2), dtype=np.int8)
+    rep_pl = PatchLevel(
+        D=D, n=n, tree_level=pl.tree_level,
+        ids=np.arange(U, dtype=np.int64),
+        starts=pl.starts[reps_a], spacings=pl.spacings[reps_a],
+        refine_level=pl.refine_level[reps_a],
+        parent_id=np.arange(U, dtype=np.int64),
+        orth_on_parent=np.full(U, -1, dtype=np.int32),
+        neumann=pl.neumann[reps_a], nbr_type=none_i8,
+        nbr_slot=np.full((U, S2), -1, dtype=np.int64),
+        coarse_orth=np.full((U, S2), -1, dtype=np.int32),
+        fine_nbr_slots=np.full((U, S2, 1 << (D - 1)), -1, dtype=np.int64),
+    )
+    lvl_u = Level(rep_pl, dtype=level.dtype)
+    fd = level.face_depth
+    gf_all = np.zeros((S2 * m, U, S2, m))
+    for s in range(S2):
+        for j in range(m):
+            gf_all[s * m + j, :, s, j] = 1.0
+    zeros_u = jnp.zeros((U,) + rep_pl.ns_shape, dtype=level.dtype)
+
+    @jax.jit
+    def probe_all(gf_b):
+        def one(gf):
+            u = lvl_u.patch_solve_faces(zeros_u, gf)
+            return extract_faces(u, D, n, fd)
+
+        return jax.lax.map(one, gf_b)
+
+    R = np.asarray(probe_all(jnp.asarray(gf_all, dtype=level.dtype)))
+    R = R.reshape(S2, m, U, S2 * fd, m)
+    T = _dense_case_templates(t)  # [ncase, m, m]
+
+    # -- pointer entries with deduplicated blocks --------------------------
+    blk_ids: dict = {}
+    blocks: list = []
+    ent_row, ent_col, ent_blk = [], [], []
+    for s in range(S2):
+        src_iface = t.iface_side_idx[:, s]
+        src_mask = t.iface_side_mask[:, s]
+        sel = np.where(src_mask[t.contrib_patch])[0]
+        for c in sel:
+            p = int(t.contrib_patch[c])
+            key = (s, int(class_of[p]), int(t.contrib_side[c]),
+                   int(t.contrib_case[c]))
+            b = blk_ids.get(key)
+            if b is None:
+                b = blk_ids[key] = len(blocks)
+                # out = block @ gamma_col; store transposed for row @ W
+                blocks.append(
+                    (T[key[3]] @ R[s, :, key[1], key[2], :].T).T
+                )
+            ent_row.append(int(t.contrib_iface[c]))
+            ent_col.append(int(src_iface[p]))
+            ent_blk.append(b)
+    E = len(ent_row)
+    ent_row = np.asarray(ent_row, dtype=np.int64)
+    ent_col = np.asarray(ent_col, dtype=np.int64)
+    ent_blk = np.asarray(ent_blk, dtype=np.int64)
+    W = np.stack(blocks) if blocks else np.zeros((1, m, m))
+
+    # sort entries by block id -> per-block contiguous segments
+    order = np.argsort(ent_blk, kind="stable")
+    ent_row, ent_col, ent_blk = ent_row[order], ent_col[order], ent_blk[order]
+    segs = []  # (block id, start, stop)
+    start = 0
+    while start < E:
+        stop = start
+        while stop < E and ent_blk[stop] == ent_blk[start]:
+            stop += 1
+        segs.append((int(ent_blk[start]), start, stop))
+        start = stop
+
+    # iface-major padded row reduction (gather+sum, no scatter)
+    by_row: dict = {}
+    for e in range(E):
+        by_row.setdefault(int(ent_row[e]), []).append(e)
+    Ks = max((len(v) for v in by_row.values()), default=1)
+    gath = np.full((NIf, Ks), E, dtype=np.int64)  # pad -> zero row
+    for i, lst in by_row.items():
+        gath[i, : len(lst)] = lst
+
+    cols_j = jnp.asarray(ent_col.astype(np.int32))
+    gath_j = jnp.asarray(gath.reshape(-1).astype(np.int32))
+    W_j = jnp.asarray(W, dtype=level.dtype)
+
+    def mv(gamma):
+        g_in = gamma[cols_j]  # [E, m] row gather
+        parts = [
+            jax.lax.slice_in_dim(g_in, a, b, axis=0) @ W_j[bid]
+            for bid, a, b in segs
+        ]
+        y = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        ypad = jnp.concatenate(
+            [y, jnp.zeros((1, m), dtype=y.dtype)], axis=0
+        )
+        acc = jnp.sum(
+            ypad[gath_j].reshape(NIf, Ks, m), axis=1
+        )
+        return gamma - acc
+
+    return mv

@@ -210,3 +210,39 @@ def test_assembled_schur_3d_matches_matrix_free():
         jnp.asarray(g) - lvl.interpolate(lvl.patch_solve(zero_f, jnp.asarray(g)))
     ).ravel()
     np.testing.assert_allclose(A_S @ g.ravel(), ref, rtol=1e-10, atol=1e-12)
+
+
+def test_pbm_matvec_matches_assembled():
+    """The pointer-block operator (reference Experimental/PBMatrix) equals
+    the assembled probed Schur matrix."""
+    from pressurepoissonsolver_tpu.matrix import assemble_schur, pbm_matvec
+
+    t = refined_tree(2, 2, 1)
+    h = DomainHierarchy(t, n=8)
+    lvl = Level(h.finest)
+    A = assemble_schur(lvl)
+    mv = pbm_matvec(lvl)
+    rng = np.random.default_rng(0)
+    g = rng.standard_normal((lvl.num_ifaces, lvl.m))
+    ref = (A @ g.ravel()).reshape(g.shape)
+    out = np.asarray(mv(jnp.asarray(g)))
+    assert np.abs(ref - out).max() < 1e-12
+
+
+def test_cli_pbm_schur(tmp_path):
+    import json
+
+    from pressurepoissonsolver_tpu.cli import main
+
+    out = tmp_path / "pbm.json"
+    rc = main(2, ["--uniform", "2", "-n", "8", "--schur",
+                  "--matrix-type", "pbm", "-t", "1e-11",
+                  "--out-json", str(out)])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert rep["residual"] < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(2, ["--uniform", "2", "-n", "8", "--matrix-type", "pbm"])
