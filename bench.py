@@ -54,6 +54,7 @@ def main():
     for _ in range(divide):
         tree.refine_leaves()
 
+    t_setup0 = time.time()
     hierarchy = DomainHierarchy(tree, n=n)
     dof = hierarchy.finest.num_cells
 
@@ -86,6 +87,10 @@ def main():
                             gmg=gmg_opts, inner_krylov=inner)
 
     solver = PoissonSolver(hierarchy, opts)
+    # host-side setup cost (tables + GMG hierarchy), the section the
+    # reference times as "Domain Initialization"+"GMG Setup"; the
+    # reference's Schur *matrix formation* at 34M DOF was 40-361 s
+    setup_s = time.time() - t_setup0
     f_np, exact = init_problem(hierarchy.finest, get_problem("trig", 2))
     f = jnp.asarray(f_np, dtype=opts.dtype)
 
@@ -201,6 +206,7 @@ def main():
         "stencil_nnz_per_s": round(nnz_per_s, 1),
         **extras,
         **schur_extras,
+        "setup_s": round(setup_s, 2),
         "compile_s": round(compile_and_first - solve_s, 2),
         "dtype": dtype_name,
         "device": str(jax.devices()[0]),

@@ -22,6 +22,7 @@ unrolled in Python so the whole cycle traces into a single XLA program.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional
 
@@ -281,6 +282,74 @@ class Transfer:
             blk = _axis_matmul(M, blk, 1 + (D - 1 - a))
         return blk.reshape(blk_flat.shape[0], -1)
 
+    def _build_pool_tables(self) -> None:
+        """Tables of the large-n pooled restriction (see
+        ``_pooled_restrict``): the pair-averaging matrix and the parent
+        row-assembly gather (32-lane rows, no transpose — the rank-5
+        transpose form measured 7.3 ms at 42M DOF)."""
+        n = self.n
+        h = n // 2
+        Pf, Pc = self.fine.P, self.coarse.P
+        A = np.zeros((n, h), dtype=np.float32)
+        for j in range(h):
+            A[2 * j, j] = 0.5
+            A[2 * j + 1, j] = 0.5
+        self._pool_A = A
+        cs = np.asarray(self._child_slot)  # [Pc, 4], pad = Pf
+        # x-sibling pooled-patch gathers in (p, hy)-major row order: the
+        # hy blocks then sit adjacent, so after a minor-axis concat of the
+        # west/east quadrants the result RESHAPES straight into the parent
+        # layout — no narrow-row gather (1.1M 32-lane rows measured 21 ms)
+        # and no rank-5 transpose (measured ~6 ms)
+        idx_w = cs[:, [0, 2]].reshape(-1)  # child (hy, hx=0)
+        idx_e = cs[:, [1, 3]].reshape(-1)  # child (hy, hx=1)
+        self._pool_gw = jnp.asarray(idx_w.astype(np.int32))
+        self._pool_ge = jnp.asarray(idx_e.astype(np.int32))
+
+    def _pooled_restrict(self, fine_u: jnp.ndarray) -> jnp.ndarray:
+        """Large-n f32 restriction: pool the whole fine level once with
+        two per-axis averaging matmuls, then assemble parent quadrants
+        with ONE 32-lane row gather (row order (p, hy, jy, hx) reshapes
+        straight into the parent layout).  The per-orthant matmul chain
+        measured 2.9 ms at 42M DOF (four gathered chains); this form does
+        one chain + one gather."""
+        n = self.n
+        h = n // 2
+        Pf = fine_u.shape[0]
+        Pc = self.coarse.P
+        cells = self._cells
+        if not hasattr(self, "_pool_gw"):
+            self._build_pool_tables()
+        A = jnp.asarray(self._pool_A)
+        # pool both axes once over the whole fine level (one matmul chain)
+        hp = jax.lax.Precision.HIGHEST
+        px = jnp.matmul(
+            fine_u.reshape(Pf * n, n), A, precision=hp
+        ).reshape(Pf, n, h)
+        pooled = jnp.einsum("pyx,yk->pkx", px, A, precision=hp)
+        pooled_pad = jnp.concatenate(
+            [pooled.reshape(Pf, h * h),
+             jnp.zeros((1, h * h), dtype=fine_u.dtype)], axis=0
+        )
+        # (p, hy)-major west/east quadrant rows; minor concat interleaves
+        # the x halves, and the row order already stacks the y halves
+        w = pooled_pad[self._pool_gw].reshape(Pc * 2, h, h)
+        e = pooled_pad[self._pool_ge].reshape(Pc * 2, h, h)
+        # pad-sum interleave (fuses into one output pass, unlike the
+        # rank-3 minor concat)
+        assembled = (
+            jnp.pad(w, ((0, 0), (0, 0), (0, h)))
+            + jnp.pad(e, ((0, 0), (0, 0), (h, 0)))
+        ).reshape(Pc, cells)
+        fine_flat = jnp.concatenate(
+            [fine_u.reshape(Pf, cells),
+             jnp.zeros((1, cells), dtype=fine_u.dtype)], axis=0
+        )
+        out = (assembled + fine_flat[self._pt_slot]).reshape(
+            (-1,) + fine_u.shape[1:]
+        )
+        return self.coarse._constrain_p(out)
+
     def restrict(self, fine_u: jnp.ndarray) -> jnp.ndarray:
         """Cell-averaging restriction into a new coarse-level vector.
 
@@ -289,6 +358,23 @@ class Transfer:
         coarse-side child table and accumulate them through the
         averaging-placement matrices."""
         D, n = self.D, self.n
+        # NEGATIVE RESULT (round 5, kept for the record): the pooled
+        # restriction (_pooled_restrict) — global per-axis pooling + pair
+        # gathers + fused pad interleave — measures 4.6 ms at 42M DOF vs
+        # 2.9 ms for the per-orthant matmul chains below, despite moving
+        # ~2x less algorithmic data: the (p,hy)-major quadrant gathers and
+        # the half-width interleave passes dominate.  PPS_POOL_RESTRICT=1
+        # re-enables it for experiments.
+        if (
+            D == 2
+            and not self._use_kron
+            and fine_u.dtype == jnp.float32
+            and n % 2 == 0
+            and os.environ.get("PPS_POOL_RESTRICT") == "1"
+            and jax.default_backend() == "tpu"
+            and getattr(self.coarse, "_psh", None) is None
+        ):
+            return self._pooled_restrict(fine_u)
         Pf = fine_u.shape[0]
         cells = self._cells
         fine_flat = jnp.concatenate(

@@ -26,6 +26,7 @@ preconditioner level.
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from functools import partial
@@ -237,15 +238,58 @@ def _face_pad_sum(
     return add
 
 
+@functools.lru_cache(maxsize=None)
+def _face_placement_matrix(n: int):
+    """[4n, n*n] 0/1 f32 matrix routing (side, k) face entries onto their
+    flat boundary cells (x_lo, x_hi, y_lo, y_hi; x fastest)."""
+    C = n * n
+    G = np.zeros((4 * n, C), dtype=np.float32)
+    for k in range(n):
+        G[0 * n + k, k * n] = 1.0
+        G[1 * n + k, k * n + (n - 1)] = 1.0
+        G[2 * n + k, k] = 1.0
+        G[3 * n + k, (n - 1) * n + k] = 1.0
+    # NOTE: return the host array — converting to a device array here
+    # would cache a tracer when first called under a trace
+    return G
+
+
 def _fold_faces_flat(
     fc: jnp.ndarray,
     gf: jnp.ndarray,
     h2inv: jnp.ndarray,
     D: int,
     n: int,
+    mm: bool = True,
 ) -> jnp.ndarray:
-    """``f_slice -= 2/h^2 * gf`` on every face, pad-spread form
-    (``StarPatchOp::addInterfaceToRHS``, ``StarPatchOp.h:185-203``)."""
+    """``f_slice -= 2/h^2 * gf`` on every face
+    (``StarPatchOp::addInterfaceToRHS``, ``StarPatchOp.h:185-203``).
+
+    2D f32 TPU with ``mm=True``: one exact placement matmul (each output
+    cell receives each face contribution as a 1.0*x product) — standalone
+    the pad-spread form costs a full-field pass per pad at HBM-honest
+    sizes (measured 1.42 -> 0.75 ms at 42M DOF; patch_solve 2.17 -> 1.42).
+    Callers whose surrounding computation fuses the pads (the smoother:
+    2.12 pad vs 2.45 mm) pass ``mm=False``.  Elsewhere: fused pad-spread.
+    """
+    if (
+        mm
+        and D == 2
+        and fc.dtype == jnp.float32
+        and os.environ.get("PPS_FOLD_MM", "1") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        P = fc.shape[0]
+        s = 2.0 * jnp.stack(
+            [h2inv[:, 0], h2inv[:, 0], h2inv[:, 1], h2inv[:, 1]], axis=1
+        ).astype(fc.dtype)[..., None]
+        gfs = (gf * s).reshape(P, 4 * n)
+        gvec = jax.lax.dot_general(
+            gfs, _face_placement_matrix(n), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return fc - gvec.reshape(fc.shape)
     add = _face_pad_sum(gf, h2inv, D, n, fc.dtype)
     return fc - 2.0 * add if add is not None else fc
 
@@ -587,6 +631,12 @@ class Level:
 
         self._build_solver_groups()
         self._jit_cache = {}
+        # fused Pallas ghost-closure stencil (TPU, 2D f32, power-of-2 n):
+        # XLA materializes every shifted stencil operand as its own
+        # full-field pass (~10% of HBM roofline at 42M DOF); the fused
+        # kernel is bandwidth-bound (ops/pallas_stencil.py)
+        self._fused_stencil = None
+        self._fused_checked = False
         # multi-chip: optional device mesh; when set, the core ops pin
         # their outputs to the patch-axis sharding so XLA partitions the
         # whole pipeline (gathers become ICI collectives — the TPU-native
@@ -713,6 +763,9 @@ class Level:
         from jax.sharding import NamedSharding, PartitionSpec
 
         self.mesh = mesh
+        # the fused Pallas path is single-device; re-evaluate on mesh change
+        self._fused_stencil = None
+        self._fused_checked = False
         if mesh is None:
             self._psh = self._gsh = None
             return
@@ -830,7 +883,28 @@ class Level:
         (``StarPatchOp::applyWithInterface``, ``StarPatchOp.h:28-184``)."""
         return self._stencil_with_faces(u, self.gamma_faces(gamma))
 
+    def _fused(self):
+        if not self._fused_checked:
+            self._fused_checked = True
+            from . import pallas_stencil as ps
+
+            if self.mesh is None and ps.supported(
+                self.D, self.n, self.dtype, self.P
+            ):
+                self._fused_stencil = ps.FusedStencil2D(self.P, self.n)
+            elif self.mesh is None and ps.supported3d(
+                self.D, self.n, self.dtype, self.P
+            ):
+                self._fused_stencil = ps.FusedStencil3D(self.P, self.n)
+        return self._fused_stencil
+
     def _stencil_with_faces(self, u: jnp.ndarray, gf: jnp.ndarray) -> jnp.ndarray:
+        fused = self._fused()
+        if fused is not None:
+            return fused(
+                u, gf, self.ghost_coef.astype(u.dtype),
+                self.h2inv.astype(u.dtype),
+            )
         return self._constrain_p(
             _star_stencil(u, gf, self.ghost_coef, self.h2inv, self.D, self.n)
         )
@@ -846,6 +920,12 @@ class Level:
         the plain neighbor-face halo), so the stencil consumes the mixed
         term directly and the own-face combine pass disappears."""
         mix_scaled, _ = self._gf_parts(u)
+        fused = self._fused()
+        if fused is not None:
+            return fused(
+                u, mix_scaled, self.ghost_coef_eff.astype(u.dtype),
+                self.h2inv.astype(u.dtype),
+            )
         return self._constrain_p(
             _star_stencil(u, mix_scaled, self.ghost_coef_eff,
                           self.h2inv, self.D, self.n)
@@ -922,7 +1002,9 @@ class Level:
         via the direct gf pipeline."""
         if self.patch_solver_kind == "bcgs":
             return self.patch_solve(f, self.interpolate(u))
-        fc = self._fold_faces_into_rhs(f, self._gf_faces(u))
+        fc = _fold_faces_flat(
+            f, self._gf_faces(u), self.h2inv, self.D, self.n, mm=False
+        )
         return self._spectral_solve(fc)
 
     def smooth_zero(self, f: jnp.ndarray) -> jnp.ndarray:
