@@ -534,7 +534,7 @@ class GMGCycle:
         phys = lvl.pl.nbr_type[:nr] == 0
         all_neumann = bool(np.asarray(lvl.pl.neumann)[:nr][phys].all())
         Ainv = np.linalg.pinv(A) if all_neumann else np.linalg.inv(A)
-        self._coarse_inv = jnp.asarray(Ainv).astype(lvl.dtype)
+        self._coarse_inv = jnp.asarray(np.asarray(Ainv, dtype=np.dtype(lvl.dtype)))
 
     def apply(self, f: jnp.ndarray) -> jnp.ndarray:
         return self._visit(0, f)

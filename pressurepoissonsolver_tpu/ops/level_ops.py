@@ -174,7 +174,8 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray,
         start = stop
     kinds_used = sorted({kk for g in groups for kk in g.fwd_kinds + g.inv_kinds})
     tmats = {
-        kk: jnp.asarray(tr.transform_matrix(kk, n)).astype(dtype)
+        kk: jnp.asarray(np.asarray(tr.transform_matrix(kk, n),
+                                   dtype=np.dtype(dtype)))
         for kk in kinds_used
     }
     kron = None
@@ -188,21 +189,21 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray,
             W2 = np.kron(Ti[1], Ti[0]).T
             if D == 2:
                 kron.append((
-                    jnp.asarray(W1).astype(dtype),
-                    jnp.asarray(W2 * scale).astype(dtype),
+                    jnp.asarray(np.asarray(W1, dtype=np.dtype(dtype))),
+                    jnp.asarray(np.asarray(W2 * scale, dtype=np.dtype(dtype))),
                 ))
             else:
                 kron.append((
-                    jnp.asarray(W1).astype(dtype),
-                    jnp.asarray(W2 * scale).astype(dtype),
-                    jnp.asarray(Tf[2]).astype(dtype),
-                    jnp.asarray(Ti[2]).astype(dtype),
+                    jnp.asarray(np.asarray(W1, dtype=np.dtype(dtype))),
+                    jnp.asarray(np.asarray(W2 * scale, dtype=np.dtype(dtype))),
+                    jnp.asarray(np.asarray(Tf[2], dtype=np.dtype(dtype))),
+                    jnp.asarray(np.asarray(Ti[2], dtype=np.dtype(dtype))),
                 ))
     return _SolverTables(
         perm=jnp.asarray(perm),
         inv_perm=jnp.asarray(inv_perm),
         identity_perm=bool(np.all(perm == np.arange(Ps))),
-        lam_tab=jnp.asarray(lam_tab).astype(dtype),
+        lam_tab=jnp.asarray(np.asarray(lam_tab, dtype=np.dtype(dtype))),
         lam_idx=jnp.asarray(lam_idx),
         groups=groups,
         tmats=tmats,
@@ -441,14 +442,14 @@ def _build_contrib_pipeline(
         inv = np.full(num_ifaces, len(mm_if), dtype=np.int32)
         inv[mm_if] = np.arange(len(mm_if))
         idx_m = f(np.concatenate([flat[order], [pad_row]]).astype(np.int32))
-        mm_W = f(W).astype(dtype)
+        mm_W = f(np.asarray(W, dtype=np.dtype(dtype)))
         mm_gather = f(gath.reshape(-1))
         mm_inv = f(inv)
     return _ContribPipeline(
         num_ifaces=num_ifaces,
         Ks=Ks,
         idx_s=f(idx_s.reshape(-1)),
-        w_s=f(w_s).astype(dtype),
+        w_s=f(np.asarray(w_s, dtype=np.dtype(dtype))),
         idx_m=idx_m,
         mm_W=mm_W,
         mm_ncase=ncase_m,
@@ -562,7 +563,9 @@ class Level:
         self.num_ifaces = t.num_ifaces
         self.face_depth = getattr(t, "face_depth", 1)
 
+        npdt = np.dtype(dtype)
         f = lambda x: jnp.asarray(x)
+        fc = lambda x: jnp.asarray(np.asarray(x, dtype=npdt))
 
         # gather-form of the interface reduction: per interface, the (padded)
         # list of contribution rows that accumulate into it — turns the
@@ -583,7 +586,7 @@ class Level:
                     w = t.case_w[k, i, kk]
                     if w != 0.0:
                         case_T[k, i, t.case_src[k, i, kk]] += w
-        self._case_T = f(case_T).astype(dtype)  # [ncase, m, m]
+        self._case_T = fc(case_T)  # [ncase, m, m]
         # cases whose template is a scalar multiple of the identity
         # (normal = I/2, c2c = I/3 — the bulk of all contributions) are
         # applied as elementwise scalings: exact at any precision and far
@@ -618,15 +621,15 @@ class Level:
 
         # stencil coefficients
         h2inv = (1.0 / patch_level.spacings**2).astype(np.float64)
-        self.h2inv = f(h2inv).astype(dtype)  # [P, D]
+        self.h2inv = fc(h2inv)  # [P, D]
         # ghost closure: ghost = c*u_b + 2*gamma; c=+1 Neumann, -1 otherwise
         # (StarPatchOp.h:39-65: interface/Dirichlet rows -3u_b, Neumann -1u_b)
         coef = np.where(patch_level.neumann, 1.0, -1.0)
-        self.ghost_coef = f(coef).astype(dtype)  # [P, 2D]
+        self.ghost_coef = fc(coef)  # [P, 2D]
         # apply fast path: own-face gf term folded into the ghost closure
         # (ghost = (c + 2*w_own)*u_b + 2*w_mix*mix; 0 on direct sides)
-        self.ghost_coef_eff = (
-            self.ghost_coef + 2.0 * self._gf_w_own[:, :, 0].astype(dtype)
+        self.ghost_coef_eff = fc(
+            coef + 2.0 * np.asarray(self._gf_w_own_np[:, :, 0])
         )
 
         self._build_solver_groups()
@@ -722,9 +725,11 @@ class Level:
                 if ref_remap[i] < 0:  # direct iface read by a third side
                     mix_idx[p, s] = NR + self._nref  # cannot happen; pad
         f = jnp.asarray
+        npdt = np.dtype(dtype)
         self._gf_mix_idx = f(mix_idx.reshape(-1).astype(np.int32))
-        self._gf_w_own = f(w_own).astype(dtype)
-        self._gf_w_mix = f(w_mix).astype(dtype)
+        self._gf_w_own_np = w_own  # host copy (ghost_coef_eff derives from it)
+        self._gf_w_own = f(np.asarray(w_own, dtype=npdt))
+        self._gf_w_mix = f(np.asarray(w_mix, dtype=npdt))
 
     def _gf_parts(self, u: jnp.ndarray):
         """``(w_mix * mix, own)`` of the direct gf pipeline, both

@@ -51,6 +51,10 @@ _Z = np.int32(0)
 
 def supported(D: int, n: int, dtype, P: int = 8) -> bool:
     """The fused kernel covers 2D, power-of-two n >= 8, f32, on TPU."""
+    import os
+
+    if os.environ.get("PPS_FUSED_STENCIL", "1") == "0":
+        return False
     if not _HAS_PALLAS or jax.default_backend() != "tpu":
         return False
     if D != 2 or dtype != jnp.float32:
@@ -197,6 +201,10 @@ class FusedStencil2D:
 
 
 def supported3d(D: int, n: int, dtype, P: int = 8) -> bool:
+    import os
+
+    if os.environ.get("PPS_FUSED_STENCIL", "1") == "0":
+        return False
     if not _HAS_PALLAS or jax.default_backend() != "tpu":
         return False
     if D != 3 or dtype != jnp.float32:

@@ -611,9 +611,15 @@ class ShardedLevel:
             out = out + (lo - 2.0 * u_loc + hi) * h2i
         # face corrections (the only exchange-dependent term), pad-spread
         # form — the .at[].add slice-update form costs a full-array copy
-        # per side (docs/PERFORMANCE.md round 3; VERDICT r4 weak #2)
+        # per side (docs/PERFORMANCE.md round 3; VERDICT r4 weak #2).
+        # The barrier keeps the exchange-independent base term its own
+        # fusion so the scheduler can run it inside the in-flight
+        # ppermute windows (one materialization instead of four;
+        # without it XLA fuses base+correction into one fusion that
+        # waits on the exchange — seen in the r5 AOT schedule analysis).
         from ..ops.level_ops import _face_pad_sum
 
+        out = jax.lax.optimization_barrier(out)
         add = _face_pad_sum(gf, h2inv, D, n, u_loc.dtype)
         return out + 2.0 * add if add is not None else out
 
