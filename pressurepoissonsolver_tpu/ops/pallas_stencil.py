@@ -61,6 +61,12 @@ def supported(D: int, n: int, dtype, P: int = 8) -> bool:
         return False
     if not (n >= 8 and (n & (n - 1)) == 0):
         return False
+    # below ~32 MB the XLA concat form wins: the solve's loop-resident
+    # operands stay VMEM-cached (measured 46 vs 106 us apply at 2.6M DOF)
+    # while the kernel always streams HBM; above it the fused single
+    # pass wins (XLA pays one full-field pass per shifted operand)
+    if P * n * n * 4 < int(os.environ.get("PPS_FUSED_MIN_BYTES", 32_000_000)):
+        return False
     return _pick_bp(P, 4 * n * n * 4, 48 * 2**20) is not None
 
 
