@@ -103,7 +103,10 @@ class _SolverTables:
     # at 42M DOF the serialized program exceeded the remote-compile
     # relay's body limit (HTTP 413), and every smooth paid a full-field
     # HBM read of pure recomputable data.
-    lam_tab: jnp.ndarray  # [K, n]
+    lam_tab: jnp.ndarray  # [K, n] (f64: the per-cell sum is computed in
+    # f64 and cast to the table dtype AFTER summing — bit-identical to
+    # the old dense-f64-then-cast denominators; summing cast-f32 rows
+    # instead cost 2 extra inner iterations at the bench noise floor)
     lam_idx: jnp.ndarray  # [Ps, D] int32 into lam_tab
     groups: List[_SolveGroup]
     tmats: dict  # transform kind -> [n, n] matrix
@@ -119,6 +122,8 @@ class _SolverTables:
     # passes on TPU — fine for smoothing); HIGHEST for the refined-f64
     # correction solver, whose per-pass contraction is eps(transform)*cond
     prec: Optional[jax.lax.Precision] = None
+    # target dtype of the materialized denominator (see lam_tab note)
+    denom_dtype: object = None
 
 
 def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray,
@@ -203,7 +208,8 @@ def _build_solver_tables(pl: PatchLevel, dtype, slots: np.ndarray,
         perm=jnp.asarray(perm),
         inv_perm=jnp.asarray(inv_perm),
         identity_perm=bool(np.all(perm == np.arange(Ps))),
-        lam_tab=jnp.asarray(np.asarray(lam_tab, dtype=np.dtype(dtype))),
+        lam_tab=jnp.asarray(lam_tab),  # f64
+        denom_dtype=dtype,
         lam_idx=jnp.asarray(lam_idx),
         groups=groups,
         tmats=tmats,
@@ -462,16 +468,21 @@ def _build_contrib_pipeline(
 def _denom_of(st: _SolverTables, D: int, n: int) -> jnp.ndarray:
     """Materialize the ``[Ps, *ns]`` eigen-denominator from the factored
     per-axis rows (fused by XLA into the consuming divide; see the
-    ``lam_tab`` field note)."""
+    ``lam_tab`` field note).  Summed in f64, cast after — matching the
+    old dense-table bit pattern exactly."""
     Ps = st.lam_idx.shape[0]
     rows = st.lam_tab[st.lam_idx.reshape(-1)].reshape(Ps, D, n)
     if D == 2:
-        return rows[:, 1][:, :, None] + rows[:, 0][:, None, :]
-    return (
-        rows[:, 2][:, :, None, None]
-        + rows[:, 1][:, None, :, None]
-        + rows[:, 0][:, None, None, :]
-    )
+        dn = rows[:, 1][:, :, None] + rows[:, 0][:, None, :]
+    else:
+        dn = (
+            rows[:, 2][:, :, None, None]
+            + rows[:, 1][:, None, :, None]
+            + rows[:, 0][:, None, None, :]
+        )
+    if st.denom_dtype is not None:
+        dn = dn.astype(st.denom_dtype)
+    return dn
 
 
 def _spectral_apply(st: _SolverTables, fc: jnp.ndarray, D: int, n: int) -> jnp.ndarray:
@@ -628,8 +639,12 @@ class Level:
         self.ghost_coef = fc(coef)  # [P, 2D]
         # apply fast path: own-face gf term folded into the ghost closure
         # (ghost = (c + 2*w_own)*u_b + 2*w_mix*mix; 0 on direct sides)
-        self.ghost_coef_eff = fc(
-            coef + 2.0 * np.asarray(self._gf_w_own_np[:, :, 0])
+        # f32-step arithmetic (cast operands first, then add) to match
+        # the pre-r5 on-device computation bit-for-bit
+        self.ghost_coef_eff = f(
+            np.asarray(coef, dtype=npdt)
+            + np.asarray(2.0, dtype=npdt)
+            * np.asarray(self._gf_w_own_np[:, :, 0], dtype=npdt)
         )
 
         self._build_solver_groups()

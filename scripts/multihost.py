@@ -9,7 +9,7 @@ end-to-end without TPU pods:
 
 * parent mode (no args): runs the single-process reference solve, then
   spawns 2 coordinated worker processes and compares; writes
-  ``MULTIHOST_r4.json``.
+  ``MULTIHOST_r5.json``.
 * worker mode (``--process-id i``): joins the 2-process gloo job, runs the
   public ``PoissonSolver`` sharded solve (both comm engines) on the same
   problem, and process 0 writes the gathered solution.
@@ -137,7 +137,7 @@ def parent() -> int:
         report[comm] = {**winfo[comm], "max_abs_diff_vs_1proc": err,
                         "match": match}
     report["ok"] = ok
-    path = os.path.join(REPO, "MULTIHOST_r4.json")
+    path = os.path.join(REPO, "MULTIHOST_r5.json")
     with open(path, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))
