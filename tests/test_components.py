@@ -131,3 +131,63 @@ def test_profiling_op_report():
         # toy size on CPU the op is cheaper than launch jitter
         assert math.isnan(v["ms"]) or (v["ms"] > 0 and v["roofline_pct"] > 0)
     assert "gnnz_per_s" in rep["apply"]
+
+
+def test_face_placement_matrix_matches_pad_spread():
+    """The 2D placement-matmul fold (TPU fast path) is algebraically the
+    pad-spread fold: G routes each (side, k) trace onto its boundary
+    cell, corners receiving both of their sides' contributions."""
+    import numpy as np
+
+    from pressurepoissonsolver_tpu.ops.level_ops import (
+        _face_placement_matrix,
+    )
+
+    n = 8
+    rng = np.random.default_rng(0)
+    gf = rng.standard_normal((3, 4, n))
+    h2 = rng.uniform(1.0, 2.0, (3, 2))
+    G = np.asarray(_face_placement_matrix(n))
+    s = 2.0 * np.stack([h2[:, 0], h2[:, 0], h2[:, 1], h2[:, 1]], axis=1)
+    gvec = ((gf * s[..., None]).reshape(3, 4 * n) @ G).reshape(3, n, n)
+    # pad-spread reference
+    ref = np.zeros((3, n, n))
+    for p in range(3):
+        ref[p, :, 0] += 2.0 * h2[p, 0] * gf[p, 0]
+        ref[p, :, n - 1] += 2.0 * h2[p, 0] * gf[p, 1]
+        ref[p, 0, :] += 2.0 * h2[p, 1] * gf[p, 2]
+        ref[p, n - 1, :] += 2.0 * h2[p, 1] * gf[p, 3]
+    assert np.abs(gvec - ref).max() < 1e-12
+
+
+def test_factored_denominator_matches_dense():
+    """The factored per-axis eigen rows materialize the same denominator
+    as the old dense per-cell table (f64 sums, cast after)."""
+    import numpy as np
+
+    from pressurepoissonsolver_tpu.domain import DomainHierarchy
+    from pressurepoissonsolver_tpu.geometry import refined_tree
+    from pressurepoissonsolver_tpu.ops.level_ops import (
+        _build_solver_tables,
+        _denom_of,
+    )
+    from pressurepoissonsolver_tpu.ops import transforms as tr
+
+    t = refined_tree(2, 3, 1)
+    h = DomainHierarchy(t, n=8, neumann=["x_lo"])
+    pl = h.finest
+    st = _build_solver_tables(pl, jnp.float64, np.arange(pl.num_patches))
+    got = np.asarray(_denom_of(st, 2, 8))
+    # dense reference, per sorted slot
+    order = np.asarray(st.perm)
+    for i, p in enumerate(order[:20]):
+        acc = np.zeros((8, 8))
+        for a in range(2):
+            delta = tr.axis_transforms(
+                bool(pl.neumann[p, 2 * a]), bool(pl.neumann[p, 2 * a + 1])
+            )[2]
+            lam = tr.axis_eigenvalues(8, float(pl.spacings[p, a]), delta)
+            shape = [1, 1]
+            shape[1 - a] = 8
+            acc = acc + lam.reshape(shape)
+        assert np.abs(got[i] - acc).max() == 0.0, (i, p)
