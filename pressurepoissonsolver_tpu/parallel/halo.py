@@ -619,7 +619,10 @@ class ShardedLevel:
         # waits on the exchange — seen in the r5 AOT schedule analysis).
         from ..ops.level_ops import _face_pad_sum
 
-        out = jax.lax.optimization_barrier(out)
+        if self.ndev > 1:
+            # no exchange to overlap at ndev=1 — the barrier would only
+            # force an extra materialization of the base term
+            out = jax.lax.optimization_barrier(out)
         add = _face_pad_sum(gf, h2inv, D, n, u_loc.dtype)
         return out + 2.0 * add if add is not None else out
 

@@ -77,25 +77,31 @@ def time_op(fn: Callable, *args, reps: int = 200, in_graph: bool = False,
 
         B = max(int(hbm_rotate), 0)
         if B > 1:
-            # distinct materialized copies (identical values would still
-            # be distinct buffers, but perturb to be safe against any
-            # buffer-dedup cleverness)
-            bufs = tuple(
-                jax.block_until_ready(args[0] * (1.0 + 1e-7 * i))
-                for i in range(B)
+            # a stacked ring buffer updated in place: while_loop carries
+            # pin each component to a fixed buffer, so rotating a TUPLE
+            # of carries copies every buffer per iteration (measured:
+            # a flat ~0.5 ms floor that swamped the op).  Reading slot
+            # i%B and writing it back gives a reuse distance of B
+            # iterations — with B*field > VMEM every read streams from
+            # HBM, and the dynamic slice/update fuses with the op.
+            stack = jnp.stack(
+                [args[0] * (1.0 + 1e-7 * i) for i in range(B)]
             )
+            jax.block_until_ready(stack)
 
             @jax.jit
-            def loop(bufs, n):
-                def body(i, bufs):
-                    out = fn(bufs[0], *args[1:])
-                    if out.shape != bufs[0].shape:
-                        out = bufs[0] + jnp.mean(out)
-                    return bufs[1:] + (out,)
+            def loop(st, n):
+                def body(i, st):
+                    k = jax.lax.rem(i, jnp.asarray(B, i.dtype))
+                    x = jax.lax.dynamic_index_in_dim(st, k, keepdims=False)
+                    out = fn(x, *args[1:])
+                    if out.shape != x.shape:
+                        out = x + jnp.mean(out)
+                    return jax.lax.dynamic_update_index_in_dim(st, out, k, 0)
 
-                return jax.lax.fori_loop(0, n, body, bufs)
+                return jax.lax.fori_loop(0, n, body, st)
 
-            arg0 = bufs
+            arg0 = stack
         else:
 
             @jax.jit
