@@ -96,7 +96,9 @@ def time_op(fn: Callable, *args, reps: int = 200, in_graph: bool = False,
                     x = jax.lax.dynamic_index_in_dim(st, k, keepdims=False)
                     out = fn(x, *args[1:])
                     if out.shape != x.shape:
-                        out = x + jnp.mean(out)
+                        # scalar data dependency only — a mean reduction
+                        # here costs a full extra pass over the output
+                        out = x + out.ravel()[0] * 1e-30
                     return jax.lax.dynamic_update_index_in_dim(st, out, k, 0)
 
                 return jax.lax.fori_loop(0, n, body, st)
@@ -110,10 +112,10 @@ def time_op(fn: Callable, *args, reps: int = 200, in_graph: bool = False,
                     out = fn(v, *args[1:])
                     if out.shape == v.shape:
                         return out
-                    # shape-changing op: keep a data dependency so XLA
-                    # cannot dead-code-eliminate it (costs one extra
-                    # reduction pass)
-                    return v + jnp.mean(out)
+                    # shape-changing op: scalar data dependency so XLA
+                    # cannot dead-code-eliminate it (a mean here costs a
+                    # full extra pass over the output)
+                    return v + out.ravel()[0] * 1e-30
 
                 return jax.lax.fori_loop(0, n, body, x)
 
